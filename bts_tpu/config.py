@@ -1,0 +1,178 @@
+"""Configuration / flag system.
+
+Covers the reference's argparse surface so its experiment files carry over
+unchanged: same flag names, ``@argfile`` support, and the single-positional-
+argument-is-an-args-file convention (reference: pytorch/bts_main.py:49-120,
+tensorflow/bts.py:31-38 namedtuple, arguments_train_*.txt files).
+
+TPU-specific additions (mesh shape, precision, batched eval) are new flags
+with defaults that reproduce reference behavior when unset.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+from typing import List, Optional, Sequence
+
+
+@dataclasses.dataclass
+class Config:
+    """All experiment configuration. Field names mirror reference flags."""
+
+    # Mode / identity
+    mode: str = "train"
+    model_name: str = "bts_eigen_v2"
+    encoder: str = "densenet161_bts"
+
+    # Dataset
+    dataset: str = "nyu"  # 'nyu' | 'kitti'
+    data_path: str = ""
+    gt_path: str = ""
+    filenames_file: str = ""
+    input_height: int = 480
+    input_width: int = 640
+    max_depth: float = 10.0
+
+    # Log and save
+    log_directory: str = ""
+    checkpoint_path: str = ""
+    log_freq: int = 100
+    save_freq: int = 500
+
+    # Training
+    fix_first_conv_blocks: bool = False
+    fix_first_conv_block: bool = False
+    bn_no_track_stats: bool = False
+    weight_decay: float = 1e-2
+    bts_size: int = 512
+    retrain: bool = False
+    adam_eps: float = 1e-6
+    batch_size: int = 4
+    num_epochs: int = 50
+    learning_rate: float = 1e-4
+    end_learning_rate: float = -1.0
+    variance_focus: float = 0.85
+
+    # Preprocessing
+    do_random_rotate: bool = False
+    degree: float = 2.5
+    do_kb_crop: bool = False
+    use_right: bool = False
+
+    # Multi-device (reference: --num_threads/--world_size/...; here: one
+    # JAX process per host, SPMD over the mesh instead of mp.spawn+NCCL)
+    num_threads: int = 1
+    world_size: int = 1
+    rank: int = 0
+    dist_url: str = ""
+    dist_backend: str = ""
+    gpu: Optional[int] = None
+    multiprocessing_distributed: bool = False
+
+    # Online eval
+    do_online_eval: bool = False
+    data_path_eval: str = ""
+    gt_path_eval: str = ""
+    filenames_file_eval: str = ""
+    min_depth_eval: float = 1e-3
+    max_depth_eval: float = 80.0
+    eigen_crop: bool = False
+    garg_crop: bool = False
+    eval_freq: int = 500
+    eval_summary_directory: str = ""
+
+    # Test / eval-script flags (reference: bts_test.py / bts_eval.py args)
+    save_lpg: bool = False
+    pred_path: str = ""
+    min_depth: float = 1e-3  # eval_with_pngs naming
+    focal: float = -1.0  # bts_sequence custom focal
+
+    # --- TPU-native additions (no reference equivalent) ---
+    # Device mesh: number of data-parallel shards; 0 = all local devices.
+    num_devices: int = 0
+    mesh_axis_name: str = "data"
+    # Compute precision: 'bfloat16' keeps params fp32, computes in bf16.
+    compute_dtype: str = "float32"
+    # Batched evaluation/inference (reference is batch-1).
+    eval_batch_size: int = 1
+    # RNG seed for init + data augmentation.
+    seed: int = 42
+    # LPG kernel implementation: auto | xla | pallas | ffi
+    lpg_impl: str = "auto"
+    # Use jax.checkpoint (remat) on the encoder to trade FLOPs for HBM.
+    remat: bool = False
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def depth_mask_min(self) -> float:
+        """Training loss valid-depth threshold.
+
+        Reference: pytorch/bts_main.py:449-452 (NYU > 0.1, KITTI > 1.0).
+        """
+        return 0.1 if self.dataset == "nyu" else 1.0
+
+    @property
+    def resolved_end_learning_rate(self) -> float:
+        """Reference: pytorch/bts_main.py:423 (-1 means 0.1 * lr)."""
+        if self.end_learning_rate != -1.0:
+            return self.end_learning_rate
+        return 0.1 * self.learning_rate
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="BTS-TPU", fromfile_prefix_chars="@"
+    )
+    # Reference convention: whitespace-separated tokens inside arg files
+    # (pytorch/bts_main.py:42-50).
+    parser.convert_arg_line_to_args = lambda line: line.split()
+
+    defaults = Config()
+    for field in dataclasses.fields(Config):
+        flag = "--" + field.name
+        default = getattr(defaults, field.name)
+        if field.type == "bool" or isinstance(default, bool):
+            parser.add_argument(flag, action="store_true", default=default)
+        elif field.name == "gpu":
+            parser.add_argument(flag, type=int, default=None)
+        else:
+            ftype = type(default) if default is not None else str
+            parser.add_argument(flag, type=ftype, default=default)
+    return parser
+
+
+def parse_args(argv: Optional[Sequence[str]] = None) -> Config:
+    """Parse CLI args into a Config.
+
+    Mirrors the reference entry convention: a single positional argument is
+    treated as an @args-file (pytorch/bts_main.py:116-120).
+    """
+    if argv is None:
+        argv = sys.argv[1:]
+    argv = list(argv)
+    if len(argv) == 1 and not argv[0].startswith("-"):
+        argv = ["@" + argv[0]]
+    parser = _build_parser()
+    ns = parser.parse_args(argv)
+    return Config(**vars(ns))
+
+
+def config_to_argfile(cfg: Config) -> str:
+    """Serialize a Config back to reference-style args-file text."""
+    lines: List[str] = []
+    defaults = Config()
+    for field in dataclasses.fields(Config):
+        val = getattr(cfg, field.name)
+        default = getattr(defaults, field.name)
+        if val == default:
+            continue
+        if isinstance(val, bool):
+            if val:
+                lines.append(f"--{field.name}")
+        else:
+            lines.append(f"--{field.name} {val}")
+    return "\n".join(lines) + "\n"
