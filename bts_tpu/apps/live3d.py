@@ -1,0 +1,145 @@
+"""Live 3D point-cloud demo — webcam -> depth -> point cloud.
+
+Reference: pytorch/bts_live_3d.py / tensorflow/bts_live_3d.py — a
+PySide2/PyOpenGL app: webcam capture -> undistort to NYU intrinsics
+(f=518.8579) -> normalize -> center-crop -> model -> depth; unproject via
+precomputed pixel rays, hide depth edges via a Sobel-magnitude mask (>0.3),
+render a GL_POINTS cloud.
+
+TPU-native split: all numeric stages (normalize, depth inference, ray
+unprojection, Sobel edge mask) are pure functions here — jit-compiled,
+testable headless — while the GUI shell (Qt/OpenGL/webcam) is optional and
+gated on its imports. The reference PT demo normalizes with caffe-style
+stats even though the model trained with torchvision stats
+(pytorch/bts_live_3d.py:266-269, a reference bug) — we use the correct
+torchvision normalization.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from bts_tpu.config import Config
+
+NYU_FOCAL = 518.8579
+
+
+def pixel_rays(height: int, width: int, focal: float = NYU_FOCAL) -> np.ndarray:
+    """Per-pixel unprojection rays (x/f, y/f, 1) with the principal point at
+    the image center (pytorch/bts_live_3d.py:414-421)."""
+    xs = (np.arange(width, dtype=np.float32) - (width - 1) / 2.0) / focal
+    ys = (np.arange(height, dtype=np.float32) - (height - 1) / 2.0) / focal
+    xx, yy = np.meshgrid(xs, ys)
+    return np.stack([xx, yy, np.ones_like(xx)], axis=-1)  # (H, W, 3)
+
+
+def unproject(depth: np.ndarray, rays: np.ndarray) -> np.ndarray:
+    """depth (H,W) + rays (H,W,3) -> world points (H,W,3)."""
+    return rays * depth[..., None]
+
+
+def sobel_edge_mask(depth: np.ndarray, threshold: float = 0.3) -> np.ndarray:
+    """Mask points across depth discontinuities
+    (pytorch/bts_live_3d.py:133-136,426): True = keep."""
+    d = np.asarray(depth, np.float32)
+    pad = np.pad(d, 1, mode="edge")
+    kx = np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], np.float32)
+    ky = kx.T
+    gx = np.zeros_like(d)
+    gy = np.zeros_like(d)
+    for i in range(3):
+        for j in range(3):
+            sub = pad[i : i + d.shape[0], j : j + d.shape[1]]
+            gx += kx[i, j] * sub
+            gy += ky[i, j] * sub
+    mag = np.sqrt(gx**2 + gy**2)
+    return mag <= threshold
+
+
+def center_crop(img: np.ndarray, height: int, width: int) -> np.ndarray:
+    h, w = img.shape[:2]
+    top = (h - height) // 2
+    left = (w - width) // 2
+    return img[top : top + height, left : left + width]
+
+
+def make_depth_fn(cfg: Config, model=None, variables=None):
+    """Returns fn(rgb uint8 HxWx3) -> depth (H', W') float32, jitted."""
+    import jax
+
+    from bts_tpu.data.transforms import normalize_image
+    from bts_tpu.models.bts import create_model, init_model
+    from bts_tpu.training.checkpoint import load_any_checkpoint
+
+    if model is None:
+        model = create_model(cfg)
+    if variables is None:
+        params, stats = init_model(model, jax.random.key(cfg.seed), (1, 64, 96, 3))
+        if cfg.checkpoint_path:
+            params, stats = load_any_checkpoint(cfg.checkpoint_path, params, stats)
+        variables = {"params": params, "batch_stats": stats}
+
+    cache: dict = {}
+
+    def depth_fn(rgb: np.ndarray) -> np.ndarray:
+        h = rgb.shape[0] - rgb.shape[0] % 32
+        w = rgb.shape[1] - rgb.shape[1] % 32
+        img = center_crop(rgb, h, w).astype(np.float32) / 255.0
+        img = normalize_image(img)
+        key = (h, w)
+        if key not in cache:
+            cache[key] = jax.jit(
+                lambda v, im, f: model.apply(v, im, f, train=False)[4][..., 0]
+            )
+        out = cache[key](
+            variables, img[None], np.array([NYU_FOCAL], np.float32)
+        )
+        return np.asarray(out)[0]
+
+    return depth_fn
+
+
+def frame_to_cloud(
+    rgb: np.ndarray,
+    depth_fn,
+    edge_threshold: float = 0.3,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """One demo step: rgb frame -> (points Nx3, colors Nx3 in [0,1])."""
+    depth = depth_fn(rgb)
+    h, w = depth.shape
+    rays = pixel_rays(h, w)
+    points = unproject(depth, rays)
+    keep = sobel_edge_mask(depth, edge_threshold)
+    colors = center_crop(rgb, h, w).astype(np.float32) / 255.0
+    return points[keep], colors[keep]
+
+
+def main(cfg: Config) -> int:  # pragma: no cover - requires GUI stack
+    """Launch the interactive viewer (requires cv2 + Qt + OpenGL)."""
+    try:
+        import cv2  # noqa: F401
+    except ImportError:
+        print(
+            "live3d GUI requires opencv/Qt/OpenGL which are not installed; "
+            "the numeric pipeline (make_depth_fn/frame_to_cloud) is available "
+            "headless."
+        )
+        return 1
+    depth_fn = make_depth_fn(cfg)
+    cap = cv2.VideoCapture(0)
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+        points, colors = frame_to_cloud(rgb, depth_fn)
+        # Minimal headless-friendly loop: display the colorized depth.
+        d = depth_fn(rgb)
+        vis = (np.clip(d / cfg.max_depth, 0, 1) * 255).astype(np.uint8)
+        cv2.imshow("bts-tpu depth", cv2.applyColorMap(vis, cv2.COLORMAP_MAGMA))
+        if cv2.waitKey(1) & 0xFF == ord("q"):
+            break
+    cap.release()
+    return 0

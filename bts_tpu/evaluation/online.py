@@ -1,0 +1,107 @@
+"""Online (in-training) evaluation.
+
+Reference: pytorch/bts_main.py:250-319 — run the eval split, accumulate the
+nine metric sums + a sample count, all-reduce across ranks, print the table.
+
+TPU-native differences:
+  * the model forward runs batched (cfg.eval_batch_size) under jit with a
+    per-resolution compile cache, instead of eager batch-1;
+  * the cross-rank all_reduce becomes a host-side sum + (multi-process)
+    jax allreduce via multihost utils;
+  * masking/cropping/metric math stays numpy, bit-matching the reference
+    protocol (evaluation/protocol.py).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+from bts_tpu.config import Config
+from bts_tpu.data.loader import EvalLoader
+from bts_tpu.evaluation.metrics import EVAL_METRICS, compute_errors
+from bts_tpu.evaluation.protocol import prepare_pred_gt
+
+
+def make_eval_forward(model, cache: Optional[dict] = None) -> Callable:
+    """Batched jitted forward returning final depth (B,H,W); one compile per
+    input resolution (the reference runs eager at any size,
+    pytorch/bts_test.py:114-124)."""
+    cache = {} if cache is None else cache
+
+    def forward(variables, image, focal):
+        key = image.shape
+        if key not in cache:
+            cache[key] = jax.jit(
+                lambda v, im, f: model.apply(v, im, f, train=False)[4][..., 0]
+            )
+        return cache[key](variables, image, focal)
+
+    return forward
+
+
+def run_online_eval(
+    model,
+    variables,
+    cfg: Config,
+    loader: Optional[EvalLoader] = None,
+    forward: Optional[Callable] = None,
+    verbose: bool = True,
+) -> Optional[np.ndarray]:
+    """Returns the 9 mean metrics (or None for non-primary processes)."""
+    nproc, pidx = jax.process_count(), jax.process_index()
+    if loader is None:
+        loader = EvalLoader(cfg, "online_eval", num_shards=nproc, shard_index=pidx)
+    if forward is None:
+        forward = make_eval_forward(model)
+
+    sums = np.zeros(9, dtype=np.float64)
+    count = 0
+    for batch in loader.batches():
+        preds = np.asarray(
+            forward(variables, batch["image"], batch["focal"])
+        )
+        for i, w in enumerate(batch["weight"]):
+            if w == 0:
+                continue
+            gt = batch["depths"][i]
+            if gt is None:
+                continue  # missing gt tolerated (pytorch/bts_main.py:258-260)
+            pred, gt, mask = prepare_pred_gt(
+                preds[i],
+                gt,
+                cfg.min_depth_eval,
+                cfg.max_depth_eval,
+                cfg.dataset,
+                do_kb_crop=cfg.do_kb_crop,
+                garg_crop=cfg.garg_crop,
+                eigen_crop=cfg.eigen_crop,
+            )
+            if not mask.any():
+                continue
+            sums += compute_errors(gt[mask], pred[mask])
+            count += 1
+
+    if nproc > 1:
+        # Cross-process metric reduction — the reference's
+        # dist.all_reduce(SUM) (pytorch/bts_main.py:302-304).
+        from jax.experimental import multihost_utils
+
+        vec = np.concatenate([sums, [count]]).astype(np.float32)
+        vec = np.asarray(
+            multihost_utils.process_allgather(vec)
+        ).sum(axis=0)
+        sums, count = vec[:9].astype(np.float64), int(round(float(vec[9])))
+
+    if pidx != 0:
+        return None
+    measures = sums / max(count, 1)
+    if verbose:
+        print(f"Computing errors for {count} eval samples")
+        print(
+            ", ".join(f"{m:>7}" for m in EVAL_METRICS)
+        )
+        print(", ".join(f"{v:7.3f}" for v in measures))
+    return measures

@@ -1,0 +1,95 @@
+"""The full BTS model: encoder zoo + decoder.
+
+Reference: pytorch/bts.py:268-331 (encoder wrapper + BtsModel). Encoder
+registry mirrors the reference's options and per-backbone skip channel
+widths (pytorch/bts.py:273-301).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from bts_tpu.models.decoder import BTSDecoder
+from bts_tpu.models.encoders import densenet, mobilenet, resnet
+
+Dtype = Any
+
+# name -> (factory, feat_out_channels) — pytorch/bts.py:273-301.
+ENCODERS = {
+    "densenet121_bts": (densenet.densenet121, [64, 64, 128, 256, 1024]),
+    "densenet161_bts": (densenet.densenet161, [96, 96, 192, 384, 2208]),
+    "resnet50_bts": (resnet.resnet50, [64, 256, 512, 1024, 2048]),
+    "resnet101_bts": (resnet.resnet101, [64, 256, 512, 1024, 2048]),
+    "resnext50_bts": (resnet.resnext50, [64, 256, 512, 1024, 2048]),
+    "resnext101_bts": (resnet.resnext101, [64, 256, 512, 1024, 2048]),
+    "mobilenetv2_bts": (mobilenet.mobilenetv2, [16, 24, 32, 64, 1280]),
+}
+
+
+class BTSModel(nn.Module):
+    """encoder(x) -> 5 skips -> decoder -> 5 outputs.
+
+    __call__(x NHWC f32/bf16 normalized image, focal (B,)) returns
+    (lpg8x8, lpg4x4, lpg2x2, reduc1x1, depth_est), matching the reference
+    output tuple (pytorch/bts.py:329-331).
+    """
+
+    encoder_name: str = "densenet161_bts"
+    max_depth: float = 10.0
+    dataset: str = "nyu"
+    bts_size: int = 512
+    lpg_impl: str = "auto"
+    dtype: Dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x, focal, train: bool = False):
+        factory, _ = ENCODERS[self.encoder_name]
+        template = factory(dtype=self.dtype)
+        kwargs = {
+            k: getattr(template, k)
+            for k in template.__dataclass_fields__
+            if k not in ("parent", "name")
+        }
+        enc_cls = type(template)
+        if self.remat:
+            # Rematerialize encoder activations in the backward pass to trade
+            # FLOPs for HBM (TPU-native; no reference equivalent).
+            enc_cls = nn.remat(enc_cls, static_argnums=(2,))
+        enc = enc_cls(**kwargs, name="encoder")
+        skips = enc(x.astype(self.dtype), train)
+        return BTSDecoder(
+            max_depth=self.max_depth,
+            dataset=self.dataset,
+            num_features=self.bts_size,
+            lpg_impl=self.lpg_impl,
+            dtype=self.dtype,
+            name="decoder",
+        )(skips, focal, train=train)
+
+
+def create_model(cfg) -> BTSModel:
+    """Build a BTSModel from a Config."""
+    return BTSModel(
+        encoder_name=cfg.encoder,
+        max_depth=cfg.max_depth,
+        dataset=cfg.dataset,
+        bts_size=cfg.bts_size,
+        lpg_impl=cfg.lpg_impl,
+        dtype=jnp.dtype(cfg.compute_dtype),
+        remat=cfg.remat,
+    )
+
+
+def init_model(
+    model: BTSModel, rng: jax.Array, input_shape: Tuple[int, int, int, int]
+):
+    """Initialize params + batch_stats with a dummy batch."""
+    dummy = jnp.zeros(input_shape, jnp.float32)
+    focal = jnp.full((input_shape[0],), 518.8579, jnp.float32)
+    variables = model.init(rng, dummy, focal, train=False)
+    return variables["params"], variables.get("batch_stats", {})

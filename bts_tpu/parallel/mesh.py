@@ -1,0 +1,49 @@
+"""Device mesh + sharding utilities.
+
+TPU-native replacement for the reference's distributed backends
+(SURVEY.md §5.8): instead of mp.spawn + NCCL process groups
+(pytorch/bts_main.py:328-333) or in-graph towers
+(tensorflow/bts_main.py:163-203), we build a `jax.sharding.Mesh` over the
+data axis and let GSPMD insert the gradient all-reduce over ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    num_devices: int = 0, axis_name: str = "data", devices=None
+) -> Mesh:
+    """1-D data-parallel mesh over local (or provided) devices."""
+    if devices is None:
+        devices = jax.devices()
+    if num_devices:
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dim across the mesh."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, mesh: Mesh, axis_name: str = "data") -> dict:
+    """Device-put a host batch with the leading dim sharded over the mesh."""
+    sharding = batch_sharding(mesh, axis_name)
+    return jax.tree.map(
+        lambda x: jax.device_put(x, sharding), batch
+    )
+
+
+def process_shard_info() -> tuple[int, int]:
+    """(num_processes, process_index) for per-host manifest sharding."""
+    return jax.process_count(), jax.process_index()

@@ -1,0 +1,178 @@
+"""Checkpoint / resume.
+
+TPU-native equivalent (orbax) of the reference's torch.save dict
+{global_step, model, optimizer, best_eval_measures_*, best_eval_steps}
+(pytorch/bts_main.py:500-503,532-539) and restore (:376-397), including:
+
+  * per-metric best-checkpoint retention with old-best deletion
+    (pytorch/bts_main.py:513-539),
+  * reference checkpoint naming: model-{step} and
+    model-{step}-best_{metric}_{value:.5f},
+  * --retrain resetting the step (pytorch/bts_main.py:399-400).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from bts_tpu.evaluation.metrics import (
+    EVAL_METRICS,
+    NUM_HIGHER_BETTER,
+    NUM_LOWER_BETTER,
+)
+
+_BEST_RE = re.compile(r"model-(\d+)-best_(\w+)_([0-9.]+)$")
+_STEP_RE = re.compile(r"model-(\d+)$")
+
+
+class BestTracker:
+    """Per-metric best-value tracking (6 lower-better + 3 higher-better)."""
+
+    def __init__(self):
+        self.lower = np.zeros(NUM_LOWER_BETTER) + 1e3
+        self.higher = np.zeros(NUM_HIGHER_BETTER)
+        self.steps = np.zeros(len(EVAL_METRICS), dtype=np.int64)
+
+    def update(self, measures: np.ndarray, step: int):
+        """Returns list of (metric_index, old_step, old_value) for new bests."""
+        improved = []
+        for i in range(len(EVAL_METRICS)):
+            m = float(measures[i])
+            if i < NUM_LOWER_BETTER:
+                if m < self.lower[i]:
+                    improved.append((i, int(self.steps[i]), float(self.lower[i])))
+                    self.lower[i] = m
+                    self.steps[i] = step
+            else:
+                j = i - NUM_LOWER_BETTER
+                if m > self.higher[j]:
+                    improved.append((i, int(self.steps[i]), float(self.higher[j])))
+                    self.higher[j] = m
+                    self.steps[i] = step
+        return improved
+
+    def to_dict(self) -> Dict[str, Any]:
+        return {
+            "best_eval_measures_lower_better": self.lower,
+            "best_eval_measures_higher_better": self.higher,
+            "best_eval_steps": self.steps,
+        }
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "BestTracker":
+        t = cls()
+        t.lower = np.asarray(d["best_eval_measures_lower_better"])
+        t.higher = np.asarray(d["best_eval_measures_higher_better"])
+        t.steps = np.asarray(d["best_eval_steps"])
+        return t
+
+
+def _ckpt_payload(state, best: Optional[BestTracker]) -> Dict[str, Any]:
+    payload = {
+        "global_step": np.asarray(state.step),
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "opt_state": jax.device_get(state.opt_state),
+    }
+    if best is not None:
+        payload["best"] = best.to_dict()
+    return payload
+
+
+def save_checkpoint(
+    path: str, state, best: Optional[BestTracker] = None
+) -> None:
+    """Save a full training checkpoint to `path` (a directory)."""
+    path = os.path.abspath(path)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, _ckpt_payload(state, best))
+
+
+def restore_checkpoint(path: str, state, best: Optional[BestTracker] = None):
+    """Restore (state, best) from `path`, using `state` as the shape/dtype
+    template (reference restore: pytorch/bts_main.py:376-397)."""
+    path = os.path.abspath(path)
+    template = _ckpt_payload(state, best)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        restored = ckptr.restore(path, item=template)
+    new_state = state.replace(
+        step=jax.numpy.asarray(restored["global_step"]),
+        params=restored["params"],
+        batch_stats=restored["batch_stats"],
+        opt_state=restored["opt_state"],
+    )
+    new_best = None
+    if best is not None and "best" in restored:
+        new_best = BestTracker.from_dict(restored["best"])
+    return new_state, new_best
+
+
+def save_params_only(path: str, params, batch_stats) -> None:
+    """Inference checkpoint: params + batch stats only."""
+    path = os.path.abspath(path)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(
+            path,
+            {
+                "params": jax.device_get(params),
+                "batch_stats": jax.device_get(batch_stats),
+            },
+        )
+
+
+def load_params_only(path: str, template_params=None, template_stats=None):
+    path = os.path.abspath(path)
+    item = None
+    if template_params is not None:
+        item = {
+            "params": template_params,
+            "batch_stats": template_stats if template_stats is not None else {},
+        }
+    with ocp.PyTreeCheckpointer() as ckptr:
+        restored = ckptr.restore(path, item=item)
+    return restored["params"], restored.get("batch_stats", {})
+
+
+def load_any_checkpoint(path: str, template_params=None, template_stats=None):
+    """Load params/batch_stats from either a full training checkpoint or a
+    params-only checkpoint."""
+    with ocp.PyTreeCheckpointer() as ckptr:
+        restored = ckptr.restore(os.path.abspath(path))
+    params = restored["params"]
+    stats = restored.get("batch_stats", {}) or {}
+    return params, stats
+
+
+def best_checkpoint_name(step: int, metric: str, value: float) -> str:
+    """Reference naming (pytorch/bts_main.py:530)."""
+    return f"model-{step}-best_{metric}_{value:.5f}"
+
+
+def remove_old_best(log_dir: str, step: int, metric: str, value: float) -> None:
+    """Delete a superseded best checkpoint (pytorch/bts_main.py:524-528)."""
+    path = os.path.join(log_dir, best_checkpoint_name(step, metric, value))
+    if os.path.exists(path):
+        shutil.rmtree(path)
+
+
+def list_step_checkpoints(log_dir: str) -> Dict[int, str]:
+    """Enumerate 'model-{step}' checkpoints (pytorch/bts_eval.py:120-137)."""
+    out: Dict[int, str] = {}
+    if not os.path.isdir(log_dir):
+        return out
+    for name in os.listdir(log_dir):
+        m = _STEP_RE.match(name)
+        if m:
+            out[int(m.group(1))] = os.path.join(log_dir, name)
+    return out

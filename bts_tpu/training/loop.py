@@ -1,0 +1,291 @@
+"""The training driver.
+
+Reference behaviors covered (pytorch/bts_main.py:322-604):
+  * model build + decoder xavier init (flax default is lecun; we use xavier
+    to match weights_init_xavier, pytorch/bts_main.py:338) via flax's
+    variance-scaling defaults on Conv — replicated in layers.Conv.
+  * AdamW param groups + set_misc freezing (training/optim.py),
+  * checkpoint restore / --retrain (training/checkpoint.py),
+  * per-epoch sampler reshuffle (loader.epoch(epoch)),
+  * jitted train step over the mesh (training/state.py),
+  * console logging with loss/lr/examples-per-sec/var-sum + time-left
+    estimates (pytorch/bts_main.py:462-480),
+  * NaN-loss abort (pytorch/bts_main.py:464-466),
+  * TensorBoard scalars + colorized image panels (pytorch/bts_main.py:482-496),
+  * periodic checkpointing and online eval with per-metric best retention
+    (pytorch/bts_main.py:498-544).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bts_tpu.config import Config
+from bts_tpu.data.loader import EvalLoader, TrainLoader
+from bts_tpu.evaluation.metrics import EVAL_METRICS
+from bts_tpu.evaluation.online import make_eval_forward, run_online_eval
+from bts_tpu.models.bts import create_model, init_model
+from bts_tpu.parallel.mesh import make_mesh, shard_batch
+from bts_tpu.training import checkpoint as ckpt_lib
+from bts_tpu.training.optim import create_optimizer
+from bts_tpu.training.snapshot import snapshot_run
+from bts_tpu.training.state import (
+    TrainState,
+    create_train_state,
+    jit_train_step,
+    make_train_step,
+)
+
+
+class TrainLogger:
+    """Console + TensorBoard logging (rank-0 gated)."""
+
+    def __init__(self, cfg: Config, run_dir: str, enabled: bool):
+        self.cfg = cfg
+        self.enabled = enabled
+        self.writer = None
+        self.eval_writer = None
+        if enabled and run_dir:
+            try:
+                from tensorboardX import SummaryWriter
+
+                self.writer = SummaryWriter(
+                    os.path.join(run_dir, "summaries"), flush_secs=30
+                )
+                if cfg.do_online_eval:
+                    eval_dir = (
+                        os.path.join(cfg.eval_summary_directory, cfg.model_name)
+                        if cfg.eval_summary_directory
+                        else os.path.join(cfg.log_directory or ".", "eval")
+                    )
+                    self.eval_writer = SummaryWriter(eval_dir, flush_secs=30)
+            except Exception:
+                pass
+
+    def scalars(self, step: int, loss: float, lr: float, var_avg: float):
+        if self.writer is not None:
+            self.writer.add_scalar("silog_loss", loss, step)
+            self.writer.add_scalar("learning_rate", lr, step)
+            self.writer.add_scalar("var average", var_avg, step)
+            self.writer.flush()
+
+    def images(self, step: int, batch, outs):
+        """Inverse-depth image panels (pytorch/bts_main.py:487-495)."""
+        if self.writer is None:
+            return
+        from bts_tpu.data.transforms import denormalize_image
+        from bts_tpu.utils.colorize import normalize_result
+
+        lpg8, lpg4, lpg2, reduc1, depth_est = outs
+        depth_gt = np.asarray(batch["depth"])
+        depth_gt = np.where(depth_gt < 1e-3, 1e3, depth_gt)
+        n = min(self.cfg.batch_size, depth_gt.shape[0])
+        for i in range(n):
+            self.writer.add_image(
+                f"depth_gt/image/{i}", normalize_result(1.0 / depth_gt[i]), step
+            )
+            self.writer.add_image(
+                f"depth_est/image/{i}",
+                normalize_result(1.0 / np.asarray(depth_est[i])),
+                step,
+            )
+            self.writer.add_image(
+                f"reduc1x1/image/{i}",
+                normalize_result(1.0 / np.maximum(np.asarray(reduc1[i]), 1e-6)),
+                step,
+            )
+            for name, arr in (("lpg2x2", lpg2), ("lpg4x4", lpg4), ("lpg8x8", lpg8)):
+                self.writer.add_image(
+                    f"{name}/image/{i}",
+                    normalize_result(1.0 / np.maximum(np.asarray(arr[i]), 1e-6)),
+                    step,
+                )
+            img = denormalize_image(np.asarray(batch["image"][i]))
+            self.writer.add_image(
+                f"image/image/{i}", np.clip(img, 0, 1).transpose(2, 0, 1), step
+            )
+        self.writer.flush()
+
+    def eval_scalars(self, step: int, measures: np.ndarray):
+        if self.eval_writer is not None:
+            for i, name in enumerate(EVAL_METRICS):
+                self.eval_writer.add_scalar(name, float(measures[i]), step)
+            self.eval_writer.flush()
+
+    def close(self):
+        if self.writer is not None:
+            self.writer.close()
+        if self.eval_writer is not None:
+            self.eval_writer.close()
+
+
+def param_sum_avg(params) -> float:
+    leaves = jax.tree.leaves(params)
+    total = sum(float(jnp.sum(p)) for p in leaves)
+    return total / max(len(leaves), 1)
+
+
+def train(cfg: Config, max_steps: Optional[int] = None) -> int:
+    """Run training. Returns final global step, or -1 on NaN abort
+    (reference contract, pytorch/bts_main.py:464-466)."""
+    nproc, pidx = jax.process_count(), jax.process_index()
+    is_primary = pidx == 0
+
+    run_dir = snapshot_run(cfg) if is_primary and cfg.log_directory else ""
+
+    mesh = make_mesh(cfg.num_devices, cfg.mesh_axis_name)
+    model = create_model(cfg)
+    params, batch_stats = init_model(
+        model,
+        jax.random.key(cfg.seed),
+        (cfg.batch_size, cfg.input_height, cfg.input_width, 3),
+    )
+
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    if is_primary:
+        print(f"Total number of parameters: {n_params}")
+
+    loader = TrainLoader(cfg, num_shards=nproc, shard_index=pidx)
+    steps_per_epoch = loader.steps_per_epoch()
+    num_total_steps = cfg.num_epochs * steps_per_epoch
+
+    tx, schedule = create_optimizer(cfg, params, num_total_steps)
+    state = create_train_state(params, batch_stats, tx)
+    best = ckpt_lib.BestTracker()
+
+    # Restore (pytorch/bts_main.py:376-397); --retrain resets step.
+    if cfg.checkpoint_path and os.path.isdir(cfg.checkpoint_path):
+        state, restored_best = ckpt_lib.restore_checkpoint(
+            cfg.checkpoint_path, state, best
+        )
+        if restored_best is not None:
+            best = restored_best
+        if is_primary:
+            print(
+                f"Loaded checkpoint '{cfg.checkpoint_path}' "
+                f"(global_step {int(state.step)})"
+            )
+    if cfg.retrain:
+        state = state.replace(step=jnp.zeros((), jnp.int32))
+
+    train_step = jit_train_step(make_train_step(model, tx, cfg), mesh,
+                                cfg.mesh_axis_name)
+
+    eval_loader = None
+    eval_forward = None
+    if cfg.do_online_eval:
+        eval_loader = EvalLoader(
+            cfg, "online_eval", num_shards=nproc, shard_index=pidx
+        )
+        eval_forward = make_eval_forward(model)
+
+    logger = TrainLogger(cfg, run_dir, enabled=is_primary)
+
+    global_step = int(state.step)
+    epoch = global_step // max(steps_per_epoch, 1)
+    start_time = time.time()
+    duration = 0.0
+    model_just_loaded = bool(cfg.checkpoint_path)
+
+    while epoch < cfg.num_epochs:
+        for batch in loader.epoch(epoch):
+            t0 = time.time()
+            device_batch = shard_batch(
+                {k: batch[k] for k in ("image", "depth", "focal")},
+                mesh,
+                cfg.mesh_axis_name,
+            )
+            state, metrics = train_step(state, device_batch)
+            loss = float(metrics["loss"])
+            global_step = int(state.step)
+            current_lr = float(schedule(global_step))
+            duration += time.time() - t0
+
+            if is_primary:
+                print(
+                    f"[epoch][s/s_per_e/gs]: [{epoch}][{global_step % steps_per_epoch}"
+                    f"/{steps_per_epoch}/{global_step}], lr: {current_lr:.12f}, "
+                    f"loss: {loss:.12f}"
+                )
+                if np.isnan(loss):
+                    print("NaN in loss occurred. Aborting training.")
+                    return -1
+
+            if (
+                global_step
+                and global_step % cfg.log_freq == 0
+                and not model_just_loaded
+            ):
+                var_avg = param_sum_avg(state.params)
+                examples_per_sec = (
+                    cfg.batch_size / duration * cfg.log_freq if duration else 0.0
+                )
+                duration = 0.0
+                time_sofar = (time.time() - start_time) / 3600
+                training_time_left = (
+                    (num_total_steps / max(global_step, 1) - 1.0) * time_sofar
+                )
+                if is_primary:
+                    print(cfg.model_name)
+                    print(
+                        f"examples/s: {examples_per_sec:4.2f} | loss: {loss:.5f} "
+                        f"| var avg: {var_avg:.3f} | time elapsed: "
+                        f"{time_sofar:.2f}h | time left: {training_time_left:.2f}h"
+                    )
+                    logger.scalars(global_step, loss, current_lr, var_avg)
+
+            if (
+                not cfg.do_online_eval
+                and global_step
+                and global_step % cfg.save_freq == 0
+                and is_primary
+                and run_dir
+            ):
+                ckpt_lib.save_checkpoint(
+                    os.path.join(run_dir, f"model-{global_step}"), state, best
+                )
+
+            if (
+                cfg.do_online_eval
+                and global_step
+                and global_step % cfg.eval_freq == 0
+                and not model_just_loaded
+            ):
+                variables = {
+                    "params": state.params,
+                    "batch_stats": state.batch_stats,
+                }
+                measures = run_online_eval(
+                    model, variables, cfg, eval_loader, eval_forward
+                )
+                if measures is not None and is_primary:
+                    logger.eval_scalars(global_step, measures)
+                    improved = best.update(measures, global_step)
+                    for mi, old_step, old_val in improved:
+                        metric = EVAL_METRICS[mi]
+                        if run_dir:
+                            ckpt_lib.remove_old_best(
+                                run_dir, old_step, metric, old_val
+                            )
+                            name = ckpt_lib.best_checkpoint_name(
+                                global_step, metric, float(measures[mi])
+                            )
+                            print(f"New best for {metric}. Saving model: {name}")
+                            ckpt_lib.save_checkpoint(
+                                os.path.join(run_dir, name), state, best
+                            )
+
+            model_just_loaded = False
+            if max_steps is not None and global_step >= max_steps:
+                logger.close()
+                return global_step
+        epoch += 1
+
+    logger.close()
+    return global_step

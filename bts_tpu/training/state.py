@@ -1,0 +1,105 @@
+"""Train state + the jitted train step.
+
+TPU-native core of the training loop (reference hot loop:
+pytorch/bts_main.py:439-466): one pure function, jit-compiled over a
+`jax.sharding.Mesh` — the batch is sharded on the data axis, params are
+replicated, and GSPMD inserts the gradient all-reduce over ICI (the
+reference's DDP allreduce, pytorch/bts_main.py:352,455).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from bts_tpu.training.loss import silog_loss
+
+
+@struct.dataclass
+class TrainState:
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def create_train_state(params, batch_stats, tx) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+    )
+
+
+def make_train_step(model, tx, cfg):
+    """Build the jit-able train step closure.
+
+    The returned fn: (state, batch) -> (state, metrics) where batch is
+    {'image' (B,H,W,3), 'depth' (B,H,W,1), 'focal' (B,)}.
+    """
+    mask_min = cfg.depth_mask_min
+    variance_focus = cfg.variance_focus
+    # bn_no_track_stats: run BN in inference mode during training
+    # (reference bn_init_as_tf, pytorch/bts.py:26-31).
+    bn_train = not cfg.bn_no_track_stats
+
+    def loss_fn(params, batch_stats, batch):
+        variables = {"params": params, "batch_stats": batch_stats}
+        if bn_train:
+            outs, updates = model.apply(
+                variables,
+                batch["image"],
+                batch["focal"],
+                train=True,
+                mutable=["batch_stats"],
+            )
+            new_stats = updates["batch_stats"]
+        else:
+            outs = model.apply(
+                variables, batch["image"], batch["focal"], train=False
+            )
+            new_stats = batch_stats
+        depth_est = outs[4][..., 0]
+        depth_gt = batch["depth"][..., 0]
+        mask = depth_gt > mask_min
+        loss = silog_loss(depth_est, depth_gt, mask, variance_focus)
+        return loss, new_stats
+
+    def train_step(state: TrainState, batch: Dict[str, jax.Array]):
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch
+        )
+        updates, new_opt_state = tx.update(
+            grads, state.opt_state, state.params
+        )
+        new_params = jax.tree.map(
+            lambda p, u: p + u.astype(p.dtype), state.params, updates
+        )
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+        )
+        return new_state, {"loss": loss}
+
+    return train_step
+
+
+def jit_train_step(train_step, mesh, axis_name: str = "data"):
+    """Jit with explicit shardings: state replicated, batch data-sharded."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(axis_name))
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, data),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )

@@ -76,24 +76,20 @@ def test_lpg_custom_vjp_matches_autodiff(rng, r):
 def test_lpg_finite_difference(rng):
     """Finite-difference check of the custom VJP (SURVEY.md §4)."""
     r = 2
-    pe = jnp.asarray(_random_plane_eq(rng, b=1, h=1, w=2)).astype(jnp.float64)
+    pe_np = _random_plane_eq(rng, b=1, h=1, w=2).astype(np.float32)
 
     def f(p):
         return jnp.sum(local_planar_guidance(p, r) ** 2)
 
-    with jax.experimental.enable_x64():
-        g = jax.grad(f)(pe)
-        eps = 1e-6
-        pe_np = np.asarray(pe, dtype=np.float64)
-        for idx in np.ndindex(pe_np.shape):
-            pp = pe_np.copy()
-            pp[idx] += eps
-            pm = pe_np.copy()
-            pm[idx] -= eps
-            fd = (float(f(jnp.asarray(pp))) - float(f(jnp.asarray(pm)))) / (
-                2 * eps
-            )
-            assert abs(fd - float(g[idx])) < 1e-4 * max(1.0, abs(fd))
+    g = jax.grad(f)(jnp.asarray(pe_np))
+    eps = 1e-3
+    for idx in np.ndindex(pe_np.shape):
+        pp = pe_np.copy()
+        pp[idx] += eps
+        pm = pe_np.copy()
+        pm[idx] -= eps
+        fd = (float(f(jnp.asarray(pp))) - float(f(jnp.asarray(pm)))) / (2 * eps)
+        assert abs(fd - float(g[idx])) < 5e-2 * max(1.0, abs(fd))
 
 
 def test_decode_plane_eq_unit_normal(rng):
