@@ -30,7 +30,7 @@ def main() -> None:
     from bts_tpu.models.bts import create_model, init_model
 
     h, w = 480, 640
-    batch = 8  # batched inference (reference is batch-1)
+    batch = 32  # batched inference (reference is batch-1)
     cfg = Config(
         encoder="densenet161_bts",
         dataset="nyu",
@@ -43,22 +43,34 @@ def main() -> None:
 
     @jax.jit
     def forward(variables, image, focal):
-        return model.apply(variables, image, focal, train=False)[4]
+        # Reduce to a scalar on-device so the sync transfer is 4 bytes; the
+        # full depth map stays on device (serving would consume it there).
+        depth = model.apply(variables, image, focal, train=False)[4]
+        return jnp.sum(depth)
 
     rng = np.random.default_rng(0)
-    image = jnp.asarray(rng.normal(size=(batch, h, w, 3)).astype(np.float32))
+    images = [
+        jnp.asarray(rng.normal(size=(batch, h, w, 3)).astype(np.float32))
+        for _ in range(4)
+    ]
     focal = jnp.full((batch,), 518.8579, jnp.float32)
 
-    # Warmup / compile.
-    forward(variables, image, focal).block_until_ready()
+    # Warmup / compile. NOTE: on the tunneled device block_until_ready is
+    # unreliable; a host readback (float()) is the only trustworthy sync.
+    float(forward(variables, images[0], focal))
+    float(forward(variables, images[1], focal))
 
-    n_iters = 20
+    # Pipelined throughput: keep the device queue 2 deep, sync via the
+    # previous iteration's scalar readback so dispatch overlaps execution.
+    n_iters = 16
+    outs = []
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = forward(variables, image, focal)
-    out.block_until_ready()
+    for i in range(n_iters):
+        outs.append(forward(variables, images[i % len(images)], focal))
+        if i >= 1:
+            float(outs[i - 1])
+    float(outs[-1])
     elapsed = time.perf_counter() - t0
-
     imgs_per_sec = batch * n_iters / elapsed
     print(
         json.dumps(

@@ -88,8 +88,17 @@ def create_model(cfg) -> BTSModel:
 def init_model(
     model: BTSModel, rng: jax.Array, input_shape: Tuple[int, int, int, int]
 ):
-    """Initialize params + batch_stats with a dummy batch."""
-    dummy = jnp.zeros(input_shape, jnp.float32)
-    focal = jnp.full((input_shape[0],), 518.8579, jnp.float32)
-    variables = model.init(rng, dummy, focal, train=False)
+    """Initialize params + batch_stats with a dummy batch.
+
+    Jitted: one compiled program instead of thousands of eager dispatches
+    (matters on remote/tunneled devices).
+    """
+
+    @jax.jit
+    def _init(rng):
+        dummy = jnp.zeros(input_shape, jnp.float32)
+        focal = jnp.full((input_shape[0],), 518.8579, jnp.float32)
+        return model.init(rng, dummy, focal, train=False)
+
+    variables = _init(rng)
     return variables["params"], variables.get("batch_stats", {})
