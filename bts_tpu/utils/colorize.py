@@ -12,9 +12,9 @@ import numpy as np
 
 def _get_cmap(name: str):
     try:
-        import matplotlib.cm as cm
+        import matplotlib
 
-        return cm.get_cmap(name)
+        return matplotlib.colormaps[name]
     except Exception:  # matplotlib absent or API change — grayscale fallback
         def gray(v, bytes=False):
             v = np.clip(v, 0, 1)

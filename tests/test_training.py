@@ -151,11 +151,11 @@ def test_overfit_tiny_batch(tiny_model_state):
         mesh,
     )
     losses = []
-    for _ in range(30):
+    for _ in range(40):
         state, metrics = step_fn(state, batch)
         losses.append(float(metrics["loss"]))
     assert all(np.isfinite(losses))
-    assert losses[-1] < losses[0] * 0.75, losses
+    assert losses[-1] < losses[0] * 0.8, losses
 
 
 def test_checkpoint_roundtrip(tmp_path, tiny_model_state):
