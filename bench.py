@@ -51,7 +51,7 @@ def main() -> None:
     rng = np.random.default_rng(0)
     images = [
         jnp.asarray(rng.normal(size=(batch, h, w, 3)).astype(np.float32))
-        for _ in range(4)
+        for _ in range(2)
     ]
     focal = jnp.full((batch,), 518.8579, jnp.float32)
 

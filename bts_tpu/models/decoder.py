@@ -181,12 +181,15 @@ class BTSDecoder(nn.Module):
         )
 
         # 8x8 plane head + LPG (full resolution)
+        # LPG plane decode stays f32 (trig on low-res tensors, cheap); the
+        # full-res depth maps are produced directly in the compute dtype so
+        # no conversion copies materialize at 128-lane-padded C=1 layouts.
         plane_eq_8x8 = Reduction1x1(
             nf // 4, self.max_depth, dtype=dt, name="reduc8x8"
         )(daspp_feat)
         plane_eq_8x8 = normalize_plane(plane_eq_8x8)
         depth_8x8 = local_planar_guidance(plane_eq_8x8, 8, impl=self.lpg_impl)
-        depth_8x8_scaled = (depth_8x8 / self.max_depth)[..., None]
+        depth_8x8_scaled = (depth_8x8 / self.max_depth).astype(dt)[..., None]
         depth_8x8_scaled_ds = downsample_nearest(depth_8x8_scaled, 4)
 
         # H/4
@@ -202,7 +205,7 @@ class BTSDecoder(nn.Module):
         )(iconv3)
         plane_eq_4x4 = normalize_plane(plane_eq_4x4)
         depth_4x4 = local_planar_guidance(plane_eq_4x4, 4, impl=self.lpg_impl)
-        depth_4x4_scaled = (depth_4x4 / self.max_depth)[..., None]
+        depth_4x4_scaled = (depth_4x4 / self.max_depth).astype(dt)[..., None]
         depth_4x4_scaled_ds = downsample_nearest(depth_4x4_scaled, 2)
 
         # H/2
@@ -218,7 +221,7 @@ class BTSDecoder(nn.Module):
         )(iconv2)
         plane_eq_2x2 = normalize_plane(plane_eq_2x2)
         depth_2x2 = local_planar_guidance(plane_eq_2x2, 2, impl=self.lpg_impl)
-        depth_2x2_scaled = (depth_2x2 / self.max_depth)[..., None]
+        depth_2x2_scaled = (depth_2x2 / self.max_depth).astype(dt)[..., None]
 
         # H (full)
         upconv1 = UpConv(nf // 16, dtype=dt, name="upconv1")(iconv2)
@@ -229,9 +232,9 @@ class BTSDecoder(nn.Module):
             [
                 upconv1,
                 reduc1x1.astype(dt),
-                depth_2x2_scaled.astype(dt),
-                depth_4x4_scaled.astype(dt),
-                depth_8x8_scaled.astype(dt),
+                depth_2x2_scaled,
+                depth_4x4_scaled,
+                depth_8x8_scaled,
             ],
             axis=-1,
         )

@@ -97,11 +97,14 @@ def upsample_nearest(x, scale: int):
     """Nearest-neighbor 2x/kx upsample, NHWC.
 
     Matches torch F.interpolate(mode='nearest', scale_factor=k)
-    (pytorch/bts.py:77): out[i] = in[i // k], expressed as jnp.repeat so XLA
-    lowers it to a broadcast (no gather).
+    (pytorch/bts.py:77): out[i] = in[i // k]. Single broadcast+reshape (one
+    materialization) instead of two sequential jnp.repeat passes.
     """
-    x = jnp.repeat(x, scale, axis=1)
-    return jnp.repeat(x, scale, axis=2)
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(
+        x[:, :, None, :, None, :], (b, h, scale, w, scale, c)
+    )
+    return x.reshape(b, h * scale, w * scale, c)
 
 
 def downsample_nearest(x, inv_scale: int):
