@@ -18,6 +18,7 @@ from bts_tpu.models.layers import (
     BatchNorm,
     Conv,
     DECODER_BN_EPS,
+    SplitConv,
     TORCH_BN_MOMENTUM_DECODER,
     downsample_nearest,
     upsample_nearest,
@@ -32,17 +33,70 @@ Dtype = Any
 
 
 class UpConv(nn.Module):
-    """2x nearest upsample -> 3x3 conv -> ELU (pytorch/bts.py:69-80)."""
+    """2x nearest upsample -> 3x3 conv -> ELU (pytorch/bts.py:69-80).
+
+    Fused TPU form: conv3x3(nearest_up2(x)) is computed as ONE
+    lhs-dilated convolution with the 4x4 composite kernel
+        c[m, n] = sum_{a,b in {0,1}} k[m-a, n-b]
+    (the nearest upsample is itself a convolution of the 2x-dilated input
+    with a 2x2 ones kernel; composing the two cross-correlations gives c).
+    Mathematically identical to upsample+conv, but never materializes the
+    4x-larger upsampled intermediate. Param tree matches Conv
+    ('conv/kernel', 3x3) so checkpoints/converters are unaffected.
+    """
 
     features: int
     ratio: int = 2
     dtype: Dtype = jnp.float32
+    fused: bool = True
 
     @nn.compact
     def __call__(self, x):
-        x = upsample_nearest(x, self.ratio)
-        x = Conv(self.features, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
-        return nn.elu(x)
+        if not self.fused or self.ratio != 2:
+            x = upsample_nearest(x, self.ratio)
+            x = Conv(
+                self.features, (3, 3), padding=1, dtype=self.dtype, name="conv"
+            )(x)
+            return nn.elu(x)
+
+        inner = _FusedUpConvInner(
+            features=self.features, dtype=self.dtype, name="conv"
+        )
+        return nn.elu(inner(x))
+
+
+class _FusedUpConvInner(nn.Module):
+    features: int
+    dtype: Dtype
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.xavier_uniform(),
+            (3, 3, cin, self.features),
+            jnp.float32,
+        ).astype(self.dtype)
+        # Composite 4x4 kernel: sum of the 2x2 nearest-up shifts of k.
+        c = jnp.zeros((4, 4, cin, self.features), self.dtype)
+        for a in (0, 1):
+            for b in (0, 1):
+                c = c.at[a : a + 3, b : b + 3].add(kernel)
+        precision = (
+            jax.lax.Precision.HIGHEST
+            if jnp.dtype(self.dtype) == jnp.float32
+            else None
+        )
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            c,
+            window_strides=(1, 1),
+            padding=((2, 2), (2, 2)),
+            lhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=precision,
+        )
 
 
 class AtrousConv(nn.Module):
@@ -195,10 +249,11 @@ class BTSDecoder(nn.Module):
         # H/4
         upconv3 = UpConv(nf // 4, dtype=dt, name="upconv3")(daspp_feat)
         upconv3 = bn("bn3")(upconv3, train=train)
-        concat3 = jnp.concatenate(
-            [upconv3, skip1, depth_8x8_scaled_ds.astype(dt)], axis=-1
+        iconv3 = nn.elu(
+            SplitConv(nf // 4, (3, 3), padding=1, dtype=dt, name="conv3")(
+                [upconv3, skip1, depth_8x8_scaled_ds.astype(dt)]
+            )
         )
-        iconv3 = nn.elu(Conv(nf // 4, (3, 3), padding=1, dtype=dt, name="conv3")(concat3))
 
         plane_eq_4x4 = Reduction1x1(
             nf // 8, self.max_depth, dtype=dt, name="reduc4x4"
@@ -211,10 +266,11 @@ class BTSDecoder(nn.Module):
         # H/2
         upconv2 = UpConv(nf // 8, dtype=dt, name="upconv2")(iconv3)
         upconv2 = bn("bn2")(upconv2, train=train)
-        concat2 = jnp.concatenate(
-            [upconv2, skip0, depth_4x4_scaled_ds.astype(dt)], axis=-1
+        iconv2 = nn.elu(
+            SplitConv(nf // 8, (3, 3), padding=1, dtype=dt, name="conv2")(
+                [upconv2, skip0, depth_4x4_scaled_ds.astype(dt)]
+            )
         )
-        iconv2 = nn.elu(Conv(nf // 8, (3, 3), padding=1, dtype=dt, name="conv2")(concat2))
 
         plane_eq_2x2 = Reduction1x1(
             nf // 16, self.max_depth, dtype=dt, name="reduc2x2"
@@ -228,17 +284,19 @@ class BTSDecoder(nn.Module):
         reduc1x1 = Reduction1x1(
             nf // 32, self.max_depth, is_final=True, dtype=dt, name="reduc1x1"
         )(upconv1)
-        concat1 = jnp.concatenate(
-            [
-                upconv1,
-                reduc1x1.astype(dt),
-                depth_2x2_scaled,
-                depth_4x4_scaled,
-                depth_8x8_scaled,
-            ],
-            axis=-1,
+        # SplitConv == Conv(concat(...)) exactly, without materializing the
+        # lane-padded C=1 concat (see layers.SplitConv docstring).
+        iconv1 = nn.elu(
+            SplitConv(nf // 16, (3, 3), padding=1, dtype=dt, name="conv1")(
+                [
+                    upconv1,
+                    reduc1x1.astype(dt),
+                    depth_2x2_scaled,
+                    depth_4x4_scaled,
+                    depth_8x8_scaled,
+                ]
+            )
         )
-        iconv1 = nn.elu(Conv(nf // 16, (3, 3), padding=1, dtype=dt, name="conv1")(concat1))
         depth_logits = Conv(1, (3, 3), padding=1, dtype=dt, name="get_depth")(iconv1)
         final_depth = self.max_depth * jax.nn.sigmoid(
             depth_logits.astype(jnp.float32)

@@ -93,6 +93,83 @@ class BatchNorm(nn.Module):
         )(x)
 
 
+class _SplitConvInner(nn.Module):
+    """Holds the kernel under the same path as nn.Conv ('kernel')."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    total_in: int
+    padding: Union[int, Tuple[int, int]]
+    dtype: Dtype
+    kernel_init: Any
+
+    @nn.compact
+    def __call__(self, parts):
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            self.kernel_init,
+            (kh, kw, self.total_in, self.features),
+            jnp.float32,
+        ).astype(self.dtype)
+        precision = (
+            jax.lax.Precision.HIGHEST
+            if jnp.dtype(self.dtype) == jnp.float32
+            else None
+        )
+        out = None
+        offset = 0
+        for p in parts:
+            cin = p.shape[-1]
+            ksl = kernel[:, :, offset : offset + cin, :]
+            y = jax.lax.conv_general_dilated(
+                p.astype(self.dtype),
+                ksl,
+                window_strides=(1, 1),
+                padding=_pad(self.padding),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                precision=precision,
+            )
+            out = y if out is None else out + y
+            offset += cin
+        return out
+
+
+class SplitConv(nn.Module):
+    """Conv over a *virtual concatenation* of inputs, computed as a sum of
+    per-part convolutions — mathematically identical to
+    Conv(concat(parts)) since convolution is linear in input channels.
+
+    TPU rationale: concatenating single-channel full-resolution maps (the
+    LPG depth maps into the final decoder conv, pytorch/bts.py:260) forces
+    XLA to relayout each C=1 tensor into a 128-lane-padded channel-minor
+    layout (a ~128x traffic blowup) plus a multi-MB concatenate. Splitting
+    the conv keeps each map in its natural layout and removes the concat
+    entirely. The param tree is identical to Conv (kernel under
+    '<name>/conv/kernel' with the concatenated input width), so checkpoints
+    and the torch converter are unaffected.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    padding: Union[int, Tuple[int, int]] = 1
+    dtype: Dtype = jnp.float32
+    kernel_init: Any = nn.initializers.xavier_uniform()
+
+    @nn.compact
+    def __call__(self, parts):
+        total_in = sum(p.shape[-1] for p in parts)
+        return _SplitConvInner(
+            features=self.features,
+            kernel_size=self.kernel_size,
+            total_in=total_in,
+            padding=self.padding,
+            dtype=self.dtype,
+            kernel_init=self.kernel_init,
+            name="conv",
+        )(parts)
+
+
 def upsample_nearest(x, scale: int):
     """Nearest-neighbor 2x/kx upsample, NHWC.
 
