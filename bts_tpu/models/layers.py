@@ -122,8 +122,12 @@ class _SplitConvInner(nn.Module):
         for p in parts:
             cin = p.shape[-1]
             ksl = kernel[:, :, offset : offset + cin, :]
+            p = p.astype(self.dtype)
+            # NOTE: a shift-multiply (VPU) formulation for tiny C_in was
+            # tried and measured 3x SLOWER end-to-end: XLA materializes the
+            # taps instead of fusing them. Plain convs win.
             y = jax.lax.conv_general_dilated(
-                p.astype(self.dtype),
+                p,
                 ksl,
                 window_strides=(1, 1),
                 padding=_pad(self.padding),
