@@ -6,7 +6,6 @@ Reference entry: pytorch/bts_main.py (same args-file convention).
 import sys
 
 from bts_tpu.config import parse_args
-from bts_tpu.training.loop import train
 
 
 def main(argv=None) -> int:
@@ -14,6 +13,11 @@ def main(argv=None) -> int:
     if cfg.mode != "train":
         print("cli.train is only for training. Use cli.test instead.")
         return -1
+    from bts_tpu.parallel.mesh import maybe_init_distributed
+
+    maybe_init_distributed()
+    from bts_tpu.training.loop import train
+
     return 0 if train(cfg) >= 0 else -1
 
 

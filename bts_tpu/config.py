@@ -103,6 +103,9 @@ class Config:
     lpg_impl: str = "auto"
     # Use jax.checkpoint (remat) on the encoder to trade FLOPs for HBM.
     remat: bool = False
+    # Capture a jax.profiler trace of training steps [10, 10+profile_steps).
+    profile_steps: int = 0
+    profile_dir: str = "/tmp/bts_tpu_trace"
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

@@ -44,10 +44,11 @@ class TrainLoader:
         self.entries = load_manifest(cfg.filenames_file)
         self.num_shards = num_shards
         self.shard_index = shard_index
-        self.batch_size = cfg.batch_size // max(num_shards, 1) * max(num_shards, 1)
-        # Per-host batch: the global batch divided across processes; within a
-        # process the full device mesh consumes one host batch via sharding.
-        self.host_batch = cfg.batch_size
+        # cfg.batch_size is the GLOBAL batch (reference semantics: DDP
+        # divides it per worker, pytorch/bts_main.py:351); each process
+        # loads its 1/num_shards slice, and the local device mesh consumes
+        # it via sharding.
+        self.host_batch = max(cfg.batch_size // max(num_shards, 1), 1)
         self.num_workers = num_workers or max(cfg.num_threads, 1)
 
     def __len__(self):

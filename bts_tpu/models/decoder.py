@@ -52,21 +52,22 @@ class UpConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        if not self.fused or self.ratio != 2:
-            x = upsample_nearest(x, self.ratio)
-            x = Conv(
-                self.features, (3, 3), padding=1, dtype=self.dtype, name="conv"
-            )(x)
-            return nn.elu(x)
-
-        inner = _FusedUpConvInner(
-            features=self.features, dtype=self.dtype, name="conv"
+        inner = _UpConvInner(
+            features=self.features,
+            ratio=self.ratio,
+            fused=self.fused and self.ratio == 2,
+            dtype=self.dtype,
+            name="conv",
         )
         return nn.elu(inner(x))
 
 
-class _FusedUpConvInner(nn.Module):
+class _UpConvInner(nn.Module):
+    """Shared kernel for both upconv paths: param path 'conv/kernel'."""
+
     features: int
+    ratio: int
+    fused: bool
     dtype: Dtype
 
     @nn.compact
@@ -78,16 +79,26 @@ class _FusedUpConvInner(nn.Module):
             (3, 3, cin, self.features),
             jnp.float32,
         ).astype(self.dtype)
-        # Composite 4x4 kernel: sum of the 2x2 nearest-up shifts of k.
-        c = jnp.zeros((4, 4, cin, self.features), self.dtype)
-        for a in (0, 1):
-            for b in (0, 1):
-                c = c.at[a : a + 3, b : b + 3].add(kernel)
         precision = (
             jax.lax.Precision.HIGHEST
             if jnp.dtype(self.dtype) == jnp.float32
             else None
         )
+        if not self.fused:
+            x = upsample_nearest(x, self.ratio)
+            return jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                kernel,
+                window_strides=(1, 1),
+                padding=((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                precision=precision,
+            )
+        # Composite 4x4 kernel: sum of the 2x2 nearest-up shifts of k.
+        c = jnp.zeros((4, 4, cin, self.features), self.dtype)
+        for a in (0, 1):
+            for b in (0, 1):
+                c = c.at[a : a + 3, b : b + 3].add(kernel)
         return jax.lax.conv_general_dilated(
             x.astype(self.dtype),
             c,

@@ -37,13 +37,44 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: dict, mesh: Mesh, axis_name: str = "data") -> dict:
-    """Device-put a host batch with the leading dim sharded over the mesh."""
+    """Place a host batch with the leading dim sharded over the mesh.
+
+    Single-host: a plain sharded device_put. Multi-host: each process holds
+    its local slice of the global batch; assemble the global array from
+    process-local data (the SPMD analogue of DistributedSampler feeding each
+    DDP rank its shard).
+    """
     sharding = batch_sharding(mesh, axis_name)
-    return jax.tree.map(
-        lambda x: jax.device_put(x, sharding), batch
-    )
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sharding, x),
+            batch,
+        )
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 
 def process_shard_info() -> tuple[int, int]:
     """(num_processes, process_index) for per-host manifest sharding."""
     return jax.process_count(), jax.process_index()
+
+
+def maybe_init_distributed() -> None:
+    """Initialize multi-host JAX when launched under a cluster environment.
+
+    The reference boots NCCL process groups from --dist_url/--rank
+    (pytorch/bts_main.py:328-333); the TPU-native equivalent is
+    jax.distributed.initialize(), which self-configures from the TPU pod /
+    cluster environment. No-op when single-host or already initialized.
+    """
+    import os
+
+    if jax.process_count() > 1:
+        return  # already initialized
+    if any(
+        k in os.environ
+        for k in ("COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS")
+    ):
+        try:
+            jax.distributed.initialize()
+        except Exception as e:  # pragma: no cover
+            print(f"jax.distributed.initialize failed: {e}")

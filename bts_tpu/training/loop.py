@@ -192,9 +192,19 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> int:
     start_time = time.time()
     duration = 0.0
     model_just_loaded = bool(cfg.checkpoint_path)
+    profiling = False
 
     while epoch < cfg.num_epochs:
         for batch in loader.epoch(epoch):
+            # Profiling window (SURVEY.md §5.1 — TPU-native tracing).
+            if cfg.profile_steps and is_primary:
+                if global_step == 10 and not profiling:
+                    jax.profiler.start_trace(cfg.profile_dir)
+                    profiling = True
+                elif profiling and global_step >= 10 + cfg.profile_steps:
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    print(f"Profiler trace written to {cfg.profile_dir}")
             t0 = time.time()
             device_batch = shard_batch(
                 {k: batch[k] for k in ("image", "depth", "focal")},
@@ -283,9 +293,13 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> int:
 
             model_just_loaded = False
             if max_steps is not None and global_step >= max_steps:
+                if profiling:
+                    jax.profiler.stop_trace()
                 logger.close()
                 return global_step
         epoch += 1
 
+    if profiling:
+        jax.profiler.stop_trace()
     logger.close()
     return global_step
