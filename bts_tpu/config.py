@@ -101,6 +101,8 @@ class Config:
     seed: int = 42
     # LPG kernel implementation: auto | xla | pallas | ffi
     lpg_impl: str = "auto"
+    # Space-to-depth decoder tail (exact math, big TPU layout win).
+    fast_tail: bool = True
     # Use jax.checkpoint (remat) on the encoder to trade FLOPs for HBM.
     remat: bool = False
     # Capture a jax.profiler trace of training steps [10, 10+profile_steps).

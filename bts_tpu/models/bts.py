@@ -45,6 +45,7 @@ class BTSModel(nn.Module):
     lpg_impl: str = "auto"
     dtype: Dtype = jnp.float32
     remat: bool = False
+    fast_tail: bool = True
 
     @nn.compact
     def __call__(self, x, focal, train: bool = False):
@@ -68,6 +69,7 @@ class BTSModel(nn.Module):
             num_features=self.bts_size,
             lpg_impl=self.lpg_impl,
             dtype=self.dtype,
+            fast_tail=self.fast_tail,
             name="decoder",
         )(skips, focal, train=train)
 
@@ -82,6 +84,7 @@ def create_model(cfg) -> BTSModel:
         lpg_impl=cfg.lpg_impl,
         dtype=jnp.dtype(cfg.compute_dtype),
         remat=cfg.remat,
+        fast_tail=cfg.fast_tail,
     )
 
 

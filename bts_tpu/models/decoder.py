@@ -25,7 +25,10 @@ from bts_tpu.models.layers import (
 )
 from bts_tpu.ops.lpg import (
     decode_plane_eq,
+    depth_to_space_phases,
     local_planar_guidance,
+    lpg_expand,
+    lpg_s2d,
     normalize_plane,
 )
 
@@ -182,6 +185,112 @@ class Reduction1x1(nn.Module):
         raise ValueError("num_out_filters must be >= 4")
 
 
+class _ConvKernel(nn.Module):
+    """Declares a conv kernel param under '<name>/kernel'."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel", nn.initializers.xavier_uniform(), self.shape, jnp.float32
+        )
+
+
+class _NamedConvKernel(nn.Module):
+    """Kernel holder at path '<name>/conv/kernel' — matches Conv's tree so
+    the fast (space-to-depth) tail shares checkpoints with the plain tail."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return _ConvKernel(self.shape, name="conv")()
+
+
+class _FastReducParams(nn.Module):
+    """reduc1x1 params at the standard Reduction1x1 paths (inter_i/final),
+    mirroring its channel-halving chain (pytorch/bts.py:91-108)."""
+
+    num_in: int
+    num_out: int
+
+    @nn.compact
+    def __call__(self):
+        kernels = []
+        num_in, num_out, i = self.num_in, self.num_out, 0
+        while num_out >= 4:
+            if num_out < 8:
+                kernels.append(
+                    _NamedConvKernel((1, 1, num_in, 1), name="final")()
+                )
+                break
+            kernels.append(
+                _NamedConvKernel((1, 1, num_in, num_out), name=f"inter_{i}")()
+            )
+            num_in, num_out, i = num_out, num_out // 2, i + 1
+        return kernels
+
+
+def _s2d_conv3_kernel(k):
+    """Transform a full-res 3x3 conv kernel (3,3,Ci,Co) into the equivalent
+    space-to-depth-domain 3x3 kernel (3,3,4Ci,4Co).
+
+    Derivation: output phase (a,b) at s2d position i uses full-res rows
+    2i+a+m-1 = 2(i+q-1)+c  =>  m = 2q + c - a - 1 (and likewise columns),
+    so s2d tap (q,r) from input phase (c,d) to output phase (a,b) carries
+    k[2q+c-a-1, 2r+d-b-1] when those indices are in [0,3). Channel blocks
+    are phase-major: index = phase*C + ch.
+    """
+    ci, co = k.shape[2], k.shape[3]
+    out = jnp.zeros((3, 3, 4 * ci, 4 * co), k.dtype)
+    for a in (0, 1):
+        for b in (0, 1):
+            for c in (0, 1):
+                for d in (0, 1):
+                    for q in range(3):
+                        m = 2 * q + c - a - 1
+                        if not 0 <= m < 3:
+                            continue
+                        for r_ in range(3):
+                            n = 2 * r_ + d - b - 1
+                            if not 0 <= n < 3:
+                                continue
+                            p_in = 2 * c + d
+                            p_out = 2 * a + b
+                            out = out.at[
+                                q,
+                                r_,
+                                p_in * ci : (p_in + 1) * ci,
+                                p_out * co : (p_out + 1) * co,
+                            ].set(k[m, n])
+    return out
+
+
+def _conv(x, kernel, padding, precision):
+    return jax.lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(1, 1),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=precision,
+    )
+
+
+def _grouped_1x1(x, k, groups, precision):
+    """Per-phase 1x1 conv: same kernel applied to each phase block."""
+    return jax.lax.conv_general_dilated(
+        x,
+        jnp.tile(k, (1, 1, 1, groups)),
+        window_strides=(1, 1),
+        padding=((0, 0), (0, 0)),
+        feature_group_count=groups,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=precision,
+    )
+
+
 class BTSDecoder(nn.Module):
     """The full BTS decoder.
 
@@ -196,6 +305,8 @@ class BTSDecoder(nn.Module):
     num_features: int = 512
     lpg_impl: str = "auto"
     dtype: Dtype = jnp.float32
+    # Space-to-depth tail: exact-math TPU layout optimization (_fast_tail).
+    fast_tail: bool = True
 
     @nn.compact
     def __call__(self, features: Sequence[jax.Array], focal, train: bool = False):
@@ -253,9 +364,12 @@ class BTSDecoder(nn.Module):
             nf // 4, self.max_depth, dtype=dt, name="reduc8x8"
         )(daspp_feat)
         plane_eq_8x8 = normalize_plane(plane_eq_8x8)
-        depth_8x8 = local_planar_guidance(plane_eq_8x8, 8, impl=self.lpg_impl)
-        depth_8x8_scaled = (depth_8x8 / self.max_depth).astype(dt)[..., None]
-        depth_8x8_scaled_ds = downsample_nearest(depth_8x8_scaled, 4)
+        # The downsampled guidance map is sampled directly from the plane
+        # equation (== nearest-downsample of the full-res LPG map) so the
+        # full-resolution map need not exist at this point.
+        depth_8x8_scaled_ds = (
+            lpg_expand(plane_eq_8x8, 8, e=2, base=0, step=4) / self.max_depth
+        ).astype(dt)[..., None]
 
         # H/4
         upconv3 = UpConv(nf // 4, dtype=dt, name="upconv3")(daspp_feat)
@@ -270,9 +384,9 @@ class BTSDecoder(nn.Module):
             nf // 8, self.max_depth, dtype=dt, name="reduc4x4"
         )(iconv3)
         plane_eq_4x4 = normalize_plane(plane_eq_4x4)
-        depth_4x4 = local_planar_guidance(plane_eq_4x4, 4, impl=self.lpg_impl)
-        depth_4x4_scaled = (depth_4x4 / self.max_depth).astype(dt)[..., None]
-        depth_4x4_scaled_ds = downsample_nearest(depth_4x4_scaled, 2)
+        depth_4x4_scaled_ds = (
+            lpg_expand(plane_eq_4x4, 4, e=2, base=0, step=2) / self.max_depth
+        ).astype(dt)[..., None]
 
         # H/2
         upconv2 = UpConv(nf // 8, dtype=dt, name="upconv2")(iconv3)
@@ -287,10 +401,20 @@ class BTSDecoder(nn.Module):
             nf // 16, self.max_depth, dtype=dt, name="reduc2x2"
         )(iconv2)
         plane_eq_2x2 = normalize_plane(plane_eq_2x2)
+
+        # ---- Full-resolution tail ----
+        if self.fast_tail:
+            return self._fast_tail(
+                iconv2, plane_eq_2x2, plane_eq_4x4, plane_eq_8x8, focal
+            )
+
+        depth_8x8 = local_planar_guidance(plane_eq_8x8, 8, impl=self.lpg_impl)
+        depth_8x8_scaled = (depth_8x8 / self.max_depth).astype(dt)[..., None]
+        depth_4x4 = local_planar_guidance(plane_eq_4x4, 4, impl=self.lpg_impl)
+        depth_4x4_scaled = (depth_4x4 / self.max_depth).astype(dt)[..., None]
         depth_2x2 = local_planar_guidance(plane_eq_2x2, 2, impl=self.lpg_impl)
         depth_2x2_scaled = (depth_2x2 / self.max_depth).astype(dt)[..., None]
 
-        # H (full)
         upconv1 = UpConv(nf // 16, dtype=dt, name="upconv1")(iconv2)
         reduc1x1 = Reduction1x1(
             nf // 32, self.max_depth, is_final=True, dtype=dt, name="reduc1x1"
@@ -312,16 +436,123 @@ class BTSDecoder(nn.Module):
         final_depth = self.max_depth * jax.nn.sigmoid(
             depth_logits.astype(jnp.float32)
         )
-        if self.dataset == "kitti":
-            # KITTI focal scaling (pytorch/bts.py:263-264).
-            final_depth = final_depth * (
-                focal.astype(jnp.float32)[:, None, None, None] / 715.0873
-            )
+        final_depth = self._focal_scale(final_depth, focal)
 
         return (
             depth_8x8_scaled.astype(jnp.float32),
             depth_4x4_scaled.astype(jnp.float32),
             depth_2x2_scaled.astype(jnp.float32),
             reduc1x1.astype(jnp.float32),
+            final_depth,
+        )
+
+    def _focal_scale(self, final_depth, focal):
+        if self.dataset == "kitti":
+            # KITTI focal scaling (pytorch/bts.py:263-264).
+            final_depth = final_depth * (
+                focal.astype(jnp.float32)[:, None, None, None] / 715.0873
+            )
+        return final_depth
+
+    def _fast_tail(
+        self, iconv2, plane_eq_2x2, plane_eq_4x4, plane_eq_8x8, focal
+    ):
+        """Space-to-depth decoder tail — exact math, 4x channel packing.
+
+        The reference tail (pytorch/bts.py:258-262) runs 3x3/1x1 convs on
+        32-channel full-resolution tensors; on TPU a (8,128)-tiled
+        channel-minor layout then uses <=25% of each tile. Here the whole
+        tail runs in the H/2 domain with 2x2 phase blocks as channels
+        (32 -> 128, full tiles):
+
+          * upconv1: the fused lhs-dilated conv decomposes per output phase
+            into four 2x2 convs (exactly the 4 non-zero taps each phase sees);
+          * reduc1x1: 1x1 convs act per-phase -> grouped convs (groups=4);
+          * LPG maps: evaluated directly in phase form (ops.lpg.lpg_s2d);
+          * conv1/get_depth: 3x3 convs become 3x3 s2d-domain convs with the
+            kernel transform _s2d_conv3_kernel (same receptive field);
+          * depth_to_space only on the final 4-channel outputs.
+
+        Identical parameters and numerics (mod float reassociation) to the
+        plain tail — verified against the reference oracle in
+        tests/test_decoder_parity.py.
+        """
+        nf = self.num_features
+        dt = self.dtype
+        precision = (
+            jax.lax.Precision.HIGHEST
+            if jnp.dtype(dt) == jnp.float32
+            else None
+        )
+        co = nf // 16  # 32
+
+        # upconv1 in phase form: (B, H/2, W/2, 4*co)
+        k_up = _NamedConvKernel((3, 3, iconv2.shape[-1], co), name="upconv1")()
+        k_up = k_up.astype(dt)
+        comp = jnp.zeros((4, 4, iconv2.shape[-1], co), dt)
+        for a in (0, 1):
+            for b in (0, 1):
+                comp = comp.at[a : a + 3, b : b + 3].add(k_up)
+        x = iconv2.astype(dt)
+        phases = []
+        for a in (0, 1):
+            for b in (0, 1):
+                phases.append(
+                    _conv(
+                        x,
+                        comp[a::2, b::2],
+                        ((1 - a, a), (1 - b, b)),
+                        precision,
+                    )
+                )
+        up1 = nn.elu(jnp.concatenate(phases, axis=-1))
+
+        # reduc1x1 chain as grouped per-phase 1x1 convs.
+        reduc_kernels = _FastReducParams(
+            num_in=co, num_out=nf // 32, name="reduc1x1"
+        )()
+        y = up1
+        for k in reduc_kernels[:-1]:
+            y = nn.elu(_grouped_1x1(y, k.astype(dt), 4, precision))
+        reduc_s2d = jax.nn.sigmoid(
+            _grouped_1x1(y, reduc_kernels[-1].astype(dt), 4, precision)
+        )
+
+        # LPG maps in phase form, scaled.
+        d8_s2d = (lpg_s2d(plane_eq_8x8, 8) / self.max_depth).astype(dt)
+        d4_s2d = (lpg_s2d(plane_eq_4x4, 4) / self.max_depth).astype(dt)
+        d2_s2d = (lpg_s2d(plane_eq_2x2, 2) / self.max_depth).astype(dt)
+
+        # conv1: split over [upconv1 | reduc1x1, d2, d4, d8] with the
+        # s2d-transformed kernel slices.
+        k1 = _NamedConvKernel((3, 3, co + 4, co), name="conv1")().astype(dt)
+        k1_main = _s2d_conv3_kernel(k1[:, :, :co, :])
+        k1_aux = _s2d_conv3_kernel(k1[:, :, co:, :])
+        # Aux input in phase-major blocks: [phase, (reduc, d2, d4, d8)].
+        aux = jnp.stack([reduc_s2d, d2_s2d, d4_s2d, d8_s2d], axis=-1)
+        aux = aux.reshape(*aux.shape[:3], 16)
+        iconv1 = nn.elu(
+            _conv(up1, k1_main, ((1, 1), (1, 1)), precision)
+            + _conv(aux, k1_aux, ((1, 1), (1, 1)), precision)
+        )
+
+        # get_depth in phase form, then a single depth_to_space.
+        kd = _NamedConvKernel((3, 3, co, 1), name="get_depth")().astype(dt)
+        logits = _conv(
+            iconv1, _s2d_conv3_kernel(kd), ((1, 1), (1, 1)), precision
+        )
+        depth_s2d = self.max_depth * jax.nn.sigmoid(
+            logits.astype(jnp.float32)
+        )
+        final_depth = self._focal_scale(
+            depth_to_space_phases(depth_s2d), focal
+        )
+
+        to_full = lambda m: depth_to_space_phases(m.astype(jnp.float32))
+        return (
+            to_full(d8_s2d),
+            to_full(d4_s2d),
+            to_full(d2_s2d),
+            to_full(reduc_s2d),
             final_depth,
         )

@@ -132,6 +132,76 @@ def local_planar_guidance(
     raise ValueError(f"unknown LPG impl: {impl!r}")
 
 
+def lpg_expand(
+    plane_eq: jax.Array,
+    upratio: int,
+    e: int,
+    base: int = 0,
+    step: int = 1,
+) -> jax.Array:
+    """Generalized LPG sampler: expand each plane cell e-fold per dim,
+    evaluating the plane at sub-pixel indices ``sub = base + step * t``
+    (t in [0, e)) of the r-fold grid. Returns (B, Hc*e, Wc*e).
+
+    Special cases:
+      * e=r, base=0, step=1  == the standard LPG forward;
+      * e=r//2, base=phase, step=2  == one 2x2 phase of the output
+        (space-to-depth decomposition of LPG);
+      * e=2, base=0, step=r//2     == the nearest-downsampled-by-(r/2)
+        full-resolution map (out[i] = full[(r//2)*i]), i.e. the decoder's
+        depth_Xx_scaled_ds tensors (pytorch/bts.py:229,243) computed
+        directly without materializing the full-resolution map.
+    """
+    r = upratio
+    b, h, w, _ = plane_eq.shape
+    dtype = plane_eq.dtype
+    sub = base + step * jnp.arange(e, dtype=dtype)
+    uv = (sub - (r - 1) * 0.5) / r  # (e,)
+    n1 = plane_eq[..., 0][:, :, None, :, None]
+    n2 = plane_eq[..., 1][:, :, None, :, None]
+    n3 = plane_eq[..., 2][:, :, None, :, None]
+    n4 = plane_eq[..., 3][:, :, None, :, None]
+    den = n1 * uv[None, None, None, None, :] + n2 * uv[None, None, :, None, None] + n3
+    return (n4 / den).reshape(b, h * e, w * e)
+
+
+def lpg_s2d(plane_eq: jax.Array, upratio: int) -> jax.Array:
+    """LPG output in space-to-depth form: (B, H/2, W/2, 4) where channel
+    p = 2a + b holds full-res pixels (2i+a, 2j+b). depth_to_space of this
+    equals the standard full-resolution LPG exactly.
+    """
+    r = upratio
+    e = r // 2
+    b, h, w, _ = plane_eq.shape
+    dtype = plane_eq.dtype
+    phases = []
+    for a in (0, 1):
+        v_sub = a + 2 * jnp.arange(e, dtype=dtype)
+        v = (v_sub - (r - 1) * 0.5) / r
+        for bb in (0, 1):
+            u_sub = bb + 2 * jnp.arange(e, dtype=dtype)
+            u = (u_sub - (r - 1) * 0.5) / r
+            n1 = plane_eq[..., 0][:, :, None, :, None]
+            n2 = plane_eq[..., 1][:, :, None, :, None]
+            n3 = plane_eq[..., 2][:, :, None, :, None]
+            n4 = plane_eq[..., 3][:, :, None, :, None]
+            den = (
+                n1 * u[None, None, None, None, :]
+                + n2 * v[None, None, :, None, None]
+                + n3
+            )
+            phases.append((n4 / den).reshape(b, h * e, w * e))
+    return jnp.stack(phases, axis=-1)
+
+
+def depth_to_space_phases(x: jax.Array) -> jax.Array:
+    """(B, H2, W2, 4) phase-blocked (p = 2a + b) -> (B, 2*H2, 2*W2, 1)."""
+    b, h2, w2, _ = x.shape
+    x = x.reshape(b, h2, w2, 2, 2)
+    x = x.transpose(0, 1, 3, 2, 4)
+    return x.reshape(b, 2 * h2, 2 * w2)[..., None]
+
+
 def normalize_plane(plane: jax.Array, eps: float = 1e-12) -> jax.Array:
     """L2-normalize the plane normal (first 3 channels of last axis).
 
