@@ -26,6 +26,44 @@ from bts_tpu.config import Config
 NYU_FOCAL = 518.8579
 
 
+def undistort_maps(
+    camera_matrix: np.ndarray,
+    dist_coeffs: np.ndarray,
+    new_camera_matrix: np.ndarray,
+    size: Tuple[int, int] = (640, 480),
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Plumb-bob undistortion remap (numpy equivalent of the reference's
+    cv2.initUndistortRectifyMap, pytorch/bts_live_3d.py:76-94): for each
+    pixel of the rectified NYU-intrinsics image, the source (x, y) in the
+    raw webcam frame. dist_coeffs = (k1, k2, p1, p2, k3).
+    """
+    w, h = size
+    fx_n, fy_n = new_camera_matrix[0, 0], new_camera_matrix[1, 1]
+    cx_n, cy_n = new_camera_matrix[0, 2], new_camera_matrix[1, 2]
+    fx, fy = camera_matrix[0, 0], camera_matrix[1, 1]
+    cx, cy = camera_matrix[0, 2], camera_matrix[1, 2]
+    k1, k2, p1, p2, k3 = [float(c) for c in dist_coeffs[:5]]
+
+    u, v = np.meshgrid(np.arange(w, dtype=np.float64), np.arange(h, dtype=np.float64))
+    x = (u - cx_n) / fx_n
+    y = (v - cy_n) / fy_n
+    r2 = x * x + y * y
+    radial = 1 + k1 * r2 + k2 * r2 * r2 + k3 * r2 * r2 * r2
+    x_d = x * radial + 2 * p1 * x * y + p2 * (r2 + 2 * x * x)
+    y_d = y * radial + p1 * (r2 + 2 * y * y) + 2 * p2 * x * y
+    map_x = (fx * x_d + cx).astype(np.float32)
+    map_y = (fy * y_d + cy).astype(np.float32)
+    return map_x, map_y
+
+
+def remap_nearest(image: np.ndarray, map_x: np.ndarray, map_y: np.ndarray) -> np.ndarray:
+    """Apply an undistortion remap with nearest sampling (numpy)."""
+    h, w = image.shape[:2]
+    xi = np.clip(np.round(map_x).astype(np.int64), 0, w - 1)
+    yi = np.clip(np.round(map_y).astype(np.int64), 0, h - 1)
+    return image[yi, xi]
+
+
 def pixel_rays(height: int, width: int, focal: float = NYU_FOCAL) -> np.ndarray:
     """Per-pixel unprojection rays (x/f, y/f, 1) with the principal point at
     the image center (pytorch/bts_live_3d.py:414-421)."""
@@ -128,6 +166,11 @@ def main(cfg: Config) -> int:  # pragma: no cover - requires GUI stack
         )
         return 1
     depth_fn = make_depth_fn(cfg)
+    # Reference demo undistorts the webcam to NYU intrinsics
+    # (pytorch/bts_live_3d.py:76-94); supply your camera's calibration here.
+    new_cam = np.array(
+        [[NYU_FOCAL, 0, 320], [0, NYU_FOCAL, 240], [0, 0, 1]], np.float64
+    )
     cap = cv2.VideoCapture(0)
     while True:
         ok, frame = cap.read()

@@ -38,6 +38,10 @@ class Config:
     # Log and save
     log_directory: str = ""
     checkpoint_path: str = ""
+    # Warm-start from a torch checkpoint / torchvision state dict via the
+    # weight converter (TF equivalent: --pretrained_model name-intersection
+    # warm start, tensorflow/bts_main.py:95-123,228-232).
+    pretrained_model: str = ""
     log_freq: int = 100
     save_freq: int = 500
 

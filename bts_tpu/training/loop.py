@@ -151,6 +151,21 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> int:
     if is_primary:
         print(f"Total number of parameters: {n_params}")
 
+    if cfg.pretrained_model:
+        # Partial warm-start from a torch checkpoint (name intersection —
+        # the TF-side --pretrained_model behavior).
+        from bts_tpu.models.convert import (
+            convert_state_dict,
+            load_torch_checkpoint,
+        )
+
+        torch_state = load_torch_checkpoint(cfg.pretrained_model)
+        params, batch_stats = convert_state_dict(
+            torch_state, params, batch_stats, strict=False
+        )
+        if is_primary:
+            print(f"Warm-started from '{cfg.pretrained_model}'")
+
     loader = TrainLoader(cfg, num_shards=nproc, shard_index=pidx)
     steps_per_epoch = loader.steps_per_epoch()
     num_total_steps = cfg.num_epochs * steps_per_epoch
