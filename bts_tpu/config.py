@@ -107,6 +107,9 @@ class Config:
     lpg_impl: str = "auto"
     # Space-to-depth decoder tail (exact math, big TPU layout win).
     fast_tail: bool = True
+    # Run rotation/crop/flip/photometric/normalize fused on-device inside
+    # the jitted train step (host only decodes + static-crops).
+    device_augment: bool = False
     # Use jax.checkpoint (remat) on the encoder to trade FLOPs for HBM.
     remat: bool = False
     # Capture a jax.profiler trace of training steps [10, 10+profile_steps).

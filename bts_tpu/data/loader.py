@@ -79,17 +79,28 @@ class TrainLoader:
         ):
             image_path = entry.right_image_path
             depth_path = entry.right_gt_path
-        image, depth = transforms.load_train_sample(
-            os.path.join(cfg.data_path, image_path),
-            os.path.join(cfg.gt_path, depth_path),
-            cfg.dataset,
-            cfg.input_height,
-            cfg.input_width,
-            rng,
-            do_kb_crop=cfg.do_kb_crop,
-            do_random_rotate=cfg.do_random_rotate,
-            degree=cfg.degree,
-        )
+        if cfg.device_augment:
+            # Host does decode + static crops only; rotation/crop/flip/
+            # photometric/normalize run fused on-device
+            # (bts_tpu/data/device_augment.py).
+            image, depth = transforms.load_raw_train_sample(
+                os.path.join(cfg.data_path, image_path),
+                os.path.join(cfg.gt_path, depth_path),
+                cfg.dataset,
+                do_kb_crop=cfg.do_kb_crop,
+            )
+        else:
+            image, depth = transforms.load_train_sample(
+                os.path.join(cfg.data_path, image_path),
+                os.path.join(cfg.gt_path, depth_path),
+                cfg.dataset,
+                cfg.input_height,
+                cfg.input_width,
+                rng,
+                do_kb_crop=cfg.do_kb_crop,
+                do_random_rotate=cfg.do_random_rotate,
+                degree=cfg.degree,
+            )
         return image, depth, np.float32(entry.focal)
 
     def epoch(self, epoch: int) -> Iterator[dict]:

@@ -176,6 +176,30 @@ def load_train_sample(
     return image.astype(np.float32), depth.astype(np.float32)
 
 
+def load_raw_train_sample(
+    image_path: str,
+    depth_path: str,
+    dataset: str,
+    do_kb_crop: bool = False,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Decode + static crops only (kb-crop / NYU border crop) — the host
+    half of the on-device augmentation pipeline. Returns un-normalized
+    image in [0,1] (HWC) and depth in meters (HW1)."""
+    image = Image.open(image_path)
+    depth_gt = Image.open(depth_path)
+    if do_kb_crop:
+        image = apply_kb_crop(image)
+        depth_gt = apply_kb_crop(depth_gt)
+    if dataset == "nyu":
+        image = image.crop(NYU_BORDER_CROP)
+        depth_gt = depth_gt.crop(NYU_BORDER_CROP)
+    image = np.asarray(image, dtype=np.float32) / 255.0
+    depth = decode_depth_png(
+        np.asarray(depth_gt, dtype=np.float32)[..., None], dataset
+    )
+    return image.astype(np.float32), depth.astype(np.float32)
+
+
 def load_eval_sample(
     image_path: str,
     depth_path: Optional[str],

@@ -47,6 +47,11 @@ def make_train_step(model, tx, cfg):
     # bn_no_track_stats: run BN in inference mode during training
     # (reference bn_init_as_tf, pytorch/bts.py:26-31).
     bn_train = not cfg.bn_no_track_stats
+    device_augment = cfg.device_augment
+    if device_augment:
+        from bts_tpu.data.device_augment import augment_batch
+
+        aug_base_key = jax.random.key(cfg.seed)
 
     def loss_fn(params, batch_stats, batch):
         variables = {"params": params, "batch_stats": batch_stats}
@@ -71,6 +76,20 @@ def make_train_step(model, tx, cfg):
         return loss, new_stats
 
     def train_step(state: TrainState, batch: Dict[str, jax.Array]):
+        if device_augment:
+            # Fused on-device augmentation, deterministic per (seed, step).
+            key = jax.random.fold_in(aug_base_key, state.step)
+            image, depth = augment_batch(
+                key,
+                batch["image"],
+                batch["depth"],
+                out_h=cfg.input_height,
+                out_w=cfg.input_width,
+                degree=cfg.degree,
+                dataset=cfg.dataset,
+                do_random_rotate=cfg.do_random_rotate,
+            )
+            batch = {"image": image, "depth": depth, "focal": batch["focal"]}
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, batch
         )
