@@ -71,12 +71,20 @@ def run_predictions(
     forward_cache: dict = {}
 
     def full_forward(image, focal):
+        h, w = image.shape[1:3]
+        ph, pw = (-h) % 32, (-w) % 32
+        if ph or pw:
+            image = np.pad(
+                np.asarray(image), ((0, 0), (0, ph), (0, pw), (0, 0)),
+                mode="edge",
+            )
         key = image.shape
         if key not in forward_cache:
             forward_cache[key] = jax.jit(
                 lambda v, im, f: model.apply(v, im, f, train=False)
             )
-        return forward_cache[key](variables, image, focal)
+        outs = forward_cache[key](variables, image, focal)
+        return [o[:, :h, :w] for o in outs]
 
     out_dir = out_dir or f"result_{cfg.model_name}"
     for sub in ("raw", "cmap", "rgb", "gt"):

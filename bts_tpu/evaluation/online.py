@@ -28,16 +28,25 @@ from bts_tpu.evaluation.protocol import prepare_pred_gt
 def make_eval_forward(model, cache: Optional[dict] = None) -> Callable:
     """Batched jitted forward returning final depth (B,H,W); one compile per
     input resolution (the reference runs eager at any size,
-    pytorch/bts_test.py:114-124)."""
+    pytorch/bts_test.py:114-124). Inputs with H/W not divisible by the
+    encoder stride (32) are edge-padded and the output cropped back."""
     cache = {} if cache is None else cache
 
     def forward(variables, image, focal):
+        h, w = image.shape[1:3]
+        ph, pw = (-h) % 32, (-w) % 32
+        if ph or pw:
+            image = np.pad(
+                np.asarray(image), ((0, 0), (0, ph), (0, pw), (0, 0)),
+                mode="edge",
+            )
         key = image.shape
         if key not in cache:
             cache[key] = jax.jit(
                 lambda v, im, f: model.apply(v, im, f, train=False)[4][..., 0]
             )
-        return cache[key](variables, image, focal)
+        out = cache[key](variables, image, focal)
+        return out[:, :h, :w]
 
     return forward
 
