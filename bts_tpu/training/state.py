@@ -79,6 +79,8 @@ def make_train_step(model, tx, cfg):
         if device_augment:
             # Fused on-device augmentation, deterministic per (seed, step).
             key = jax.random.fold_in(aug_base_key, state.step)
+            # Rotation already happened on the host (see loader raw mode —
+            # gather-based device rotation measured 3.4x slower).
             image, depth = augment_batch(
                 key,
                 batch["image"],
@@ -87,7 +89,7 @@ def make_train_step(model, tx, cfg):
                 out_w=cfg.input_width,
                 degree=cfg.degree,
                 dataset=cfg.dataset,
-                do_random_rotate=cfg.do_random_rotate,
+                do_random_rotate=False,
             )
             batch = {"image": image, "depth": depth, "focal": batch["focal"]}
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
