@@ -17,7 +17,7 @@ torchvision normalization.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

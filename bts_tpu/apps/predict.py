@@ -19,7 +19,6 @@ from PIL import Image
 
 from bts_tpu.config import Config
 from bts_tpu.data.loader import EvalLoader
-from bts_tpu.evaluation.online import make_eval_forward
 from bts_tpu.utils.colorize import colorize
 
 

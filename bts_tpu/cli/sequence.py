@@ -3,7 +3,6 @@
 Usage: python -m bts_tpu.cli.sequence --image_dir DIR [flags | @argfile]
 """
 
-import argparse
 import sys
 
 from bts_tpu.apps.sequence import run_sequence

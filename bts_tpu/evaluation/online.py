@@ -14,7 +14,7 @@ TPU-native differences:
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional
+from typing import Callable, Optional
 
 import jax
 import numpy as np

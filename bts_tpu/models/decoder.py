@@ -20,7 +20,6 @@ from bts_tpu.models.layers import (
     DECODER_BN_EPS,
     SplitConv,
     TORCH_BN_MOMENTUM_DECODER,
-    downsample_nearest,
     upsample_nearest,
 )
 from bts_tpu.ops.lpg import (

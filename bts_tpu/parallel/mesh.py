@@ -9,8 +9,6 @@ data axis and let GSPMD insert the gradient all-reduce over ICI.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -36,7 +36,6 @@ from bts_tpu.training import checkpoint as ckpt_lib
 from bts_tpu.training.optim import create_optimizer
 from bts_tpu.training.snapshot import snapshot_run
 from bts_tpu.training.state import (
-    TrainState,
     create_train_state,
     jit_train_step,
     make_train_step,

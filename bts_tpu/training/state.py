@@ -9,7 +9,6 @@ reference's DDP allreduce, pytorch/bts_main.py:352,455).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict
 
 import jax
