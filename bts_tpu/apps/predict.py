@@ -122,6 +122,26 @@ def run_predictions(
                     np.maximum(reduc1[i, :, :, 0] * cfg.max_depth, 1e-6),
                     "reduc1x1",
                 )
+                # Denormalized input + (where present) gt visualization
+                # (reference rgb/gt dirs, pytorch/bts_test.py:176-214).
+                from bts_tpu.data.transforms import denormalize_image
+
+                rgb = np.clip(
+                    denormalize_image(np.asarray(batch["image"][i])), 0, 1
+                )
+                rgb = rgb[10:-10, 10:-10]
+                Image.fromarray((rgb * 255).astype(np.uint8)).save(
+                    os.path.join(out_dir, "rgb", base)
+                )
+                gt = batch.get("depths", [None] * len(batch["weight"]))[i]
+                if gt is not None:
+                    c = colorize(
+                        np.maximum(np.asarray(gt)[10:-10, 10:-10, 0], 1e-6),
+                        cmap="Greys",
+                    )
+                    Image.fromarray(c.transpose(1, 2, 0)).save(
+                        os.path.join(out_dir, "gt", base)
+                    )
             n += 1
     elapsed = time.time() - t0
     print(

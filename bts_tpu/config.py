@@ -44,6 +44,9 @@ class Config:
     pretrained_model: str = ""
     log_freq: int = 100
     save_freq: int = 500
+    # Retain at most N periodic 'model-{step}' checkpoints (0 = unlimited;
+    # TF twin used Saver(max_to_keep=200), tensorflow/bts_main.py:214).
+    max_to_keep: int = 200
 
     # Training
     fix_first_conv_blocks: bool = False

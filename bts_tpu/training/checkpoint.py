@@ -166,6 +166,17 @@ def remove_old_best(log_dir: str, step: int, metric: str, value: float) -> None:
         shutil.rmtree(path)
 
 
+def prune_step_checkpoints(log_dir: str, max_to_keep: int) -> None:
+    """Keep only the newest max_to_keep 'model-{step}' checkpoints
+    (tf.train.Saver(max_to_keep) behavior, tensorflow/bts_main.py:214).
+    Best-metric checkpoints are never pruned."""
+    if max_to_keep <= 0:
+        return
+    ckpts = list_step_checkpoints(log_dir)
+    for step in sorted(ckpts)[:-max_to_keep]:
+        shutil.rmtree(ckpts[step], ignore_errors=True)
+
+
 def list_step_checkpoints(log_dir: str) -> Dict[int, str]:
     """Enumerate 'model-{step}' checkpoints (pytorch/bts_eval.py:120-137)."""
     out: Dict[int, str] = {}

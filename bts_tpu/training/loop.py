@@ -274,6 +274,7 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> int:
                 ckpt_lib.save_checkpoint(
                     os.path.join(run_dir, f"model-{global_step}"), state, best
                 )
+                ckpt_lib.prune_step_checkpoints(run_dir, cfg.max_to_keep)
 
             if (
                 cfg.do_online_eval
