@@ -232,8 +232,9 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> int:
             duration += time.time() - t0
 
             if is_primary:
+                step_in_epoch = (global_step - 1) % steps_per_epoch
                 print(
-                    f"[epoch][s/s_per_e/gs]: [{epoch}][{global_step % steps_per_epoch}"
+                    f"[epoch][s/s_per_e/gs]: [{epoch}][{step_in_epoch}"
                     f"/{steps_per_epoch}/{global_step}], lr: {current_lr:.12f}, "
                     f"loss: {loss:.12f}"
                 )
