@@ -147,8 +147,15 @@ def load_params_only(path: str, template_params=None, template_stats=None):
 def load_any_checkpoint(path: str, template_params=None, template_stats=None):
     """Load params/batch_stats from either a full training checkpoint or a
     params-only checkpoint."""
+    path = os.path.abspath(path)
+    if not os.path.isdir(path):
+        raise FileNotFoundError(
+            f"No checkpoint directory at '{path}'. Expected an orbax "
+            f"checkpoint saved by this framework (e.g. "
+            f"<log_directory>/<model_name>/model-<step>)."
+        )
     with ocp.PyTreeCheckpointer() as ckptr:
-        restored = ckptr.restore(os.path.abspath(path))
+        restored = ckptr.restore(path)
     params = restored["params"]
     stats = restored.get("batch_stats", {}) or {}
     return params, stats
