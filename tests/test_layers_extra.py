@@ -42,6 +42,32 @@ def test_splitconv_equals_conv_on_concat(rng):
     )
 
 
+def test_blockdiag_grouped_conv_matches_grouped(rng):
+    """bf16 grouped convs run as dense block-diagonal convs (TPU perf);
+    must match the grouped path within bf16 tolerance, same param tree."""
+    x = rng.normal(size=(2, 10, 12, 32)).astype(np.float32) * 0.1
+    m_bf = Conv(32, (3, 3), padding=1, groups=4, dtype=jnp.bfloat16)
+    m_f32 = Conv(32, (3, 3), padding=1, groups=4, dtype=jnp.float32)
+    variables = m_bf.init(jax.random.key(0), jnp.asarray(x))
+    assert set(variables["params"]["conv"].keys()) == {"kernel"}
+    assert variables["params"]["conv"]["kernel"].shape == (3, 3, 8, 32)
+    got = np.asarray(m_bf.apply(variables, jnp.asarray(x))).astype(np.float32)
+    want = np.asarray(m_f32.apply(variables, jnp.asarray(x)))
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < 0.01, rel
+
+
+def test_depthwise_stays_grouped(rng):
+    """Depthwise (C/g < 4) must NOT take the block-diagonal path (the FLOP
+    blowup would dominate); both dtypes give the same tree + close values."""
+    x = rng.normal(size=(1, 8, 8, 16)).astype(np.float32) * 0.1
+    m = Conv(16, (3, 3), padding=1, groups=16, dtype=jnp.bfloat16)
+    variables = m.init(jax.random.key(0), jnp.asarray(x))
+    assert variables["params"]["conv"]["kernel"].shape == (3, 3, 1, 16)
+    out = m.apply(variables, jnp.asarray(x))
+    assert out.shape == (1, 8, 8, 16)
+
+
 def test_remat_model_matches_plain():
     from bts_tpu.models.bts import BTSModel, init_model
 
