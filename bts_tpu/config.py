@@ -151,7 +151,13 @@ def _build_parser() -> argparse.ArgumentParser:
         flag = "--" + field.name
         default = getattr(defaults, field.name)
         if field.type == "bool" or isinstance(default, bool):
-            parser.add_argument(flag, action="store_true", default=default)
+            # BooleanOptionalAction also generates --no-<name>, so
+            # default-True bools (fast_tail) are controllable from the CLI
+            # and args files; bare --<name> keeps reference store_true
+            # semantics.
+            parser.add_argument(
+                flag, action=argparse.BooleanOptionalAction, default=default
+            )
         elif field.name == "gpu":
             parser.add_argument(flag, type=int, default=None)
         else:
@@ -186,8 +192,8 @@ def config_to_argfile(cfg: Config) -> str:
         if val == default:
             continue
         if isinstance(val, bool):
-            if val:
-                lines.append(f"--{field.name}")
+            # val != default here, so non-default False means --no-<name>.
+            lines.append(f"--{field.name}" if val else f"--no-{field.name}")
         else:
             lines.append(f"--{field.name} {val}")
     return "\n".join(lines) + "\n"

@@ -55,6 +55,15 @@ class TrainLoader:
         return len(self.entries)
 
     def steps_per_epoch(self) -> int:
+        """Floor division = drop the final partial batch each epoch.
+
+        Deliberate deviation from the reference (DataLoader drop_last=False,
+        i.e. ceil): jit needs fixed batch shapes, and padding the training
+        batch would bias BN batch stats. With 24k+ samples the effect on
+        num_total_steps — and therefore on the poly-LR horizon
+        (pytorch/bts_main.py:456-458) — is < 0.01%. Eval loaders DO pad
+        with a validity weight so metric counts stay exact.
+        """
         return len(self._shard_indices(0)) // self.host_batch
 
     def _shard_indices(self, epoch: int) -> np.ndarray:

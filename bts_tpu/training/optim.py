@@ -6,10 +6,13 @@ Reference semantics reproduced:
     optax.multi_transform labels.
   * Polynomial LR decay applied every step (pytorch/bts_main.py:456-458).
   * set_misc layer freezing (pytorch/bts_main.py:217-247): always freeze the
-    encoder's first conv and ALL encoder BN affine params ('.bn' / 'norm'
-    name-substring matching in the reference); --fix_first_conv_block(s)
-    additionally freezes the first (two) residual/dense blocks. The
-    reference's substring rules match nothing for mobilenetv2 — preserved.
+    encoder's first conv and the encoder BN affine params that the
+    reference's '.bn' / 'norm' name-substring rules actually match —
+    for resnets that is bn1/bn2/bn3 + the stem bn1 but NOT the downsample
+    BN ('downsample.1' contains no '.bn'), which therefore stays trainable;
+    --fix_first_conv_block(s) additionally freezes the first (two)
+    residual/dense blocks. The reference's substring rules match nothing
+    for mobilenetv2 — preserved.
 """
 
 from __future__ import annotations
@@ -35,7 +38,11 @@ def frozen_predicate(cfg: Config):
 
     if _is_resnet_family(name):
         first_conv = "encoder/conv1/"
-        bn_markers = ("/bn1/", "/bn2/", "/bn3/", "/downsample_bn/", "encoder/bn1/")
+        # The reference's '.bn' substring (bts_main.py:236) matches
+        # torchvision's bn1/bn2/bn3 and the stem bn1, but NOT the
+        # downsample BN (named 'downsample.1') — so downsample BN
+        # scale/bias stay trainable. Preserve that exactly.
+        bn_markers = ("/bn1/", "/bn2/", "/bn3/", "encoder/bn1/")
         blocks = []
         if cfg.fix_first_conv_blocks:
             blocks = ["encoder/layer1_0/", "encoder/layer1_1/"]

@@ -70,3 +70,17 @@ def test_argfile_roundtrip(tmp_path):
     f.write_text(config_to_argfile(cfg))
     cfg2 = parse_args([str(f)])
     assert cfg2 == cfg
+
+
+def test_default_true_bool_can_be_disabled(tmp_path):
+    # fast_tail defaults True; --no-fast_tail must turn it off from the CLI
+    # and from args files, and config_to_argfile must round-trip it.
+    assert Config().fast_tail
+    cfg = parse_args(["--no-fast_tail"])
+    assert not cfg.fast_tail
+    f = tmp_path / "args.txt"
+    f.write_text(config_to_argfile(cfg))
+    cfg2 = parse_args([str(f)])
+    assert cfg2 == cfg
+    # Bare flag still sets True (reference store_true semantics).
+    assert parse_args(["--fast_tail"]).fast_tail

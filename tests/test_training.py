@@ -101,6 +101,34 @@ def test_param_labels_freezing_densenet():
     )
 
 
+def test_param_labels_freezing_resnet():
+    # Reference set_misc uses the '.bn' substring (bts_main.py:236-238),
+    # which matches torchvision's bn1/bn2/bn3 + stem bn1 but NOT the
+    # downsample BN ('downsample.1') — downsample BN must stay trainable.
+    cfg = Config(encoder="resnet50_bts")
+    model = BTSModel(encoder_name="resnet50_bts", max_depth=10.0)
+    params, _ = init_model(model, jax.random.key(0), (1, H, W, 3))
+    labels = param_labels(params, cfg)
+    flat = {
+        jax.tree_util.keystr(p): v
+        for p, v in jax.tree.leaves_with_path(labels)
+    }
+    assert flat["['encoder']['conv1']['conv']['kernel']"] == "frozen"
+    assert flat["['encoder']['bn1']['bn']['scale']"] == "frozen"
+    assert flat["['encoder']['layer1_0']['bn1']['bn']['scale']"] == "frozen"
+    assert flat["['encoder']['layer3_0']['bn2']['bn']['bias']"] == "frozen"
+    assert (
+        flat["['encoder']['layer1_0']['downsample_bn']['bn']['scale']"]
+        == "encoder"
+    )
+    assert (
+        flat["['encoder']['layer1_0']['downsample_bn']['bn']['bias']"]
+        == "encoder"
+    )
+    assert flat["['encoder']['layer1_0']['conv1']['conv']['kernel']"] == "encoder"
+    assert flat["['decoder']['conv5']['conv']['kernel']"] == "decoder"
+
+
 def test_train_step_runs_and_freezes(tiny_model_state):
     cfg, model, params, batch_stats = tiny_model_state
     tx, _ = create_optimizer(cfg, params, num_total_steps=100)
