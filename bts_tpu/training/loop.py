@@ -201,12 +201,90 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> int:
 
     logger = TrainLogger(cfg, run_dir, enabled=is_primary)
 
+    # LR for logging is computed on the host — calling the jnp schedule
+    # eagerly would dispatch + sync a tiny device computation every step.
+    from bts_tpu.training.lr import polynomial_decay_host
+
+    host_lr = polynomial_decay_host(
+        cfg.learning_rate,
+        cfg.resolved_end_learning_rate,
+        num_total_steps,
+        power=0.9,
+    )
+    del schedule  # device-side twin lives inside the optimizer
+
     global_step = int(state.step)
     epoch = global_step // max(steps_per_epoch, 1)
     start_time = time.time()
     duration = 0.0
     model_just_loaded = bool(cfg.checkpoint_path)
     profiling = False
+
+    # ---- Pipelined readback -------------------------------------------
+    # The hot loop dispatches step N, then reads back step N-1's loss — a
+    # one-step-delayed sync (same pattern as bench.py). Over the axon
+    # tunnel a same-step readback costs ~30ms of dead time per step; the
+    # delayed form overlaps it with device compute. The NaN abort operates
+    # on the delayed value (one step late, same -1 contract).
+    pending = None  # info dict for the step whose loss we haven't read yet
+    panel_forward = None
+
+    def process_pending(p) -> bool:
+        """Read back + log step p. Returns False on NaN (abort)."""
+        nonlocal panel_forward
+        loss = float(p["metrics"]["loss"])
+        if is_primary:
+            print(
+                f"[epoch][s/s_per_e/gs]: [{p['epoch']}][{p['sie']}"
+                f"/{steps_per_epoch}/{p['gs']}], lr: {p['lr']:.12f}, "
+                f"loss: {loss:.12f}"
+            )
+            if np.isnan(loss):
+                print("NaN in loss occurred. Aborting training.")
+                return False
+        if p["log"]:
+            var_avg = param_sum_avg(state.params)
+            examples_per_sec = (
+                cfg.batch_size / p["duration"] * cfg.log_freq
+                if p["duration"]
+                else 0.0
+            )
+            time_sofar = (time.time() - start_time) / 3600
+            training_time_left = (
+                num_total_steps / max(p["gs"], 1) - 1.0
+            ) * time_sofar
+            if is_primary:
+                print(cfg.model_name)
+                print(
+                    f"examples/s: {examples_per_sec:4.2f} | loss: {loss:.5f} "
+                    f"| var avg: {var_avg:.3f} | time elapsed: "
+                    f"{time_sofar:.2f}h | time left: {training_time_left:.2f}h"
+                )
+                logger.scalars(p["gs"], loss, p["lr"], var_avg)
+                if logger.writer is not None and p["device_batch"] is not None:
+                    # Image panels every log_freq (pytorch/bts_main.py:482-496).
+                    if panel_forward is None:
+                        from bts_tpu.training.state import make_panel_forward
+
+                        panel_forward = make_panel_forward(model, cfg)
+                    outs, img, dpt = panel_forward(
+                        state.params,
+                        state.batch_stats,
+                        p["device_batch"],
+                        p["gs"] - 1,
+                    )
+                    logger.images(
+                        p["gs"],
+                        {"image": np.asarray(img), "depth": np.asarray(dpt)},
+                        [np.asarray(o) for o in outs],
+                    )
+        return True
+
+    def finish(rv: int) -> int:
+        if profiling:
+            jax.profiler.stop_trace()
+        logger.close()
+        return rv
 
     while epoch < cfg.num_epochs:
         for batch in loader.epoch(epoch):
@@ -226,48 +304,51 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> int:
                 cfg.mesh_axis_name,
             )
             state, metrics = train_step(state, device_batch)
-            loss = float(metrics["loss"])
-            global_step = int(state.step)
-            current_lr = float(schedule(global_step))
+            global_step += 1
+
+            will_log = (
+                global_step % cfg.log_freq == 0 and not model_just_loaded
+            )
+            this_step = {
+                "gs": global_step,
+                "epoch": epoch,
+                "sie": (global_step - 1) % steps_per_epoch,
+                "lr": host_lr(global_step),
+                "metrics": metrics,
+                "log": will_log,
+                # Keep the batch alive only when panels will be rendered.
+                "device_batch": device_batch if will_log else None,
+                "duration": 0.0,
+            }
+
+            if pending is not None and not process_pending(pending):
+                return finish(-1)
             duration += time.time() - t0
-
-            if is_primary:
-                step_in_epoch = (global_step - 1) % steps_per_epoch
-                print(
-                    f"[epoch][s/s_per_e/gs]: [{epoch}][{step_in_epoch}"
-                    f"/{steps_per_epoch}/{global_step}], lr: {current_lr:.12f}, "
-                    f"loss: {loss:.12f}"
-                )
-                if np.isnan(loss):
-                    print("NaN in loss occurred. Aborting training.")
-                    return -1
-
-            if (
-                global_step
-                and global_step % cfg.log_freq == 0
-                and not model_just_loaded
-            ):
-                var_avg = param_sum_avg(state.params)
-                examples_per_sec = (
-                    cfg.batch_size / duration * cfg.log_freq if duration else 0.0
-                )
+            if will_log:
+                this_step["duration"] = duration
                 duration = 0.0
-                time_sofar = (time.time() - start_time) / 3600
-                training_time_left = (
-                    (num_total_steps / max(global_step, 1) - 1.0) * time_sofar
-                )
-                if is_primary:
-                    print(cfg.model_name)
-                    print(
-                        f"examples/s: {examples_per_sec:4.2f} | loss: {loss:.5f} "
-                        f"| var avg: {var_avg:.3f} | time elapsed: "
-                        f"{time_sofar:.2f}h | time left: {training_time_left:.2f}h"
-                    )
-                    logger.scalars(global_step, loss, current_lr, var_avg)
+            pending = this_step
+
+            will_save = (
+                not cfg.do_online_eval
+                and global_step % cfg.save_freq == 0
+                and is_primary
+                and run_dir
+            )
+            will_eval = (
+                cfg.do_online_eval
+                and global_step % cfg.eval_freq == 0
+                and not model_just_loaded
+            )
+            if will_save or will_eval:
+                # These blocks synchronize on the full state anyway; flush
+                # the delayed readback first so logs stay in step order.
+                if not process_pending(pending):
+                    return finish(-1)
+                pending = None
 
             if (
                 not cfg.do_online_eval
-                and global_step
                 and global_step % cfg.save_freq == 0
                 and is_primary
                 and run_dir
@@ -279,7 +360,6 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> int:
 
             if (
                 cfg.do_online_eval
-                and global_step
                 and global_step % cfg.eval_freq == 0
                 and not model_just_loaded
             ):
@@ -309,13 +389,11 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> int:
 
             model_just_loaded = False
             if max_steps is not None and global_step >= max_steps:
-                if profiling:
-                    jax.profiler.stop_trace()
-                logger.close()
-                return global_step
+                if pending is not None and not process_pending(pending):
+                    return finish(-1)
+                return finish(global_step)
         epoch += 1
 
-    if profiling:
-        jax.profiler.stop_trace()
-    logger.close()
-    return global_step
+    if pending is not None and not process_pending(pending):
+        return finish(-1)
+    return finish(global_step)

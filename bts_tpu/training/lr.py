@@ -23,3 +23,23 @@ def polynomial_decay(
         return (base_lr - end_lr) * frac**power + end_lr
 
     return schedule
+
+
+def polynomial_decay_host(
+    base_lr: float,
+    end_lr: float,
+    total_steps: int,
+    power: float = 0.9,
+):
+    """Pure-Python twin of polynomial_decay for host-side logging.
+
+    Calling the jnp schedule eagerly from the train loop dispatches a tiny
+    computation to the device and syncs on it (~30ms/step over the axon
+    tunnel) — this version stays on the host.
+    """
+
+    def schedule(step: int) -> float:
+        frac = 1.0 - min(step, total_steps) / total_steps
+        return float((base_lr - end_lr) * frac**power + end_lr)
+
+    return schedule

@@ -111,6 +111,41 @@ def make_train_step(model, tx, cfg):
     return train_step
 
 
+def make_panel_forward(model, cfg):
+    """Jitted train=False forward for TensorBoard image panels.
+
+    Reproduces the exact device-augment view the train step saw at `step`
+    (same fold_in key), so the logged panels show what the network trained
+    on — the reference logs the live training batch
+    (pytorch/bts_main.py:482-496).
+    """
+    device_augment = cfg.device_augment
+    if device_augment:
+        from bts_tpu.data.device_augment import augment_batch
+
+        aug_base_key = jax.random.key(cfg.seed)
+
+    def fwd(params, batch_stats, batch, step):
+        image, depth = batch["image"], batch["depth"]
+        if device_augment:
+            key = jax.random.fold_in(aug_base_key, step)
+            image, depth = augment_batch(
+                key,
+                image,
+                depth,
+                out_h=cfg.input_height,
+                out_w=cfg.input_width,
+                degree=cfg.degree,
+                dataset=cfg.dataset,
+                do_random_rotate=False,
+            )
+        variables = {"params": params, "batch_stats": batch_stats}
+        outs = model.apply(variables, image, batch["focal"], train=False)
+        return outs, image, depth
+
+    return jax.jit(fwd)
+
+
 def jit_train_step(train_step, mesh, axis_name: str = "data"):
     """Jit with explicit shardings: state replicated, batch data-sharded."""
     from jax.sharding import NamedSharding, PartitionSpec as P
