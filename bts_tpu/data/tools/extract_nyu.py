@@ -3,19 +3,26 @@
 Capability parity with utils/extract_official_train_test_set_from_mat.py
 (reference D5): converts `nyu_depth_v2_labeled.mat` (+ `splits.mat`) into
 
-    <out>/official_splits/{train,test}/<scene>/rgb_%05d.jpg
-    <out>/official_splits/{train,test}/<scene>/sync_depth_%05d.png
+    <out>/{train,test}/<scene_type>/rgb_%05d.jpg
+    <out>/{train,test}/<scene_type>/sync_depth_%05d.png
 
-with uint16 depth in millimeters and a 7-pixel zeroed image border (the
-reference zeroes the border to hide registration artifacts,
-extract_official_train_test_set_from_mat.py:73-80).
+matching the reference's exact output contract
+(extract_official_train_test_set_from_mat.py:44-95):
+  * depth comes from `rawDepths` (the unfilled sensor depth), meters x1000
+    as uint16 (":58-59");
+  * scene folders are named by `sceneTypes` (e.g. 'bathroom') — this is
+    what the official nyudepthv2_test_files_with_gt.txt paths use — not by
+    scene instance;
+  * the rgb is embedded in a zeroed 480x640 canvas keeping rows [7:474)
+    and cols [7:632) (":61-63") — the asymmetric border that hides
+    registration artifacts.
 
 Implementation is ours: h5py for the v7.3 .mat (the labeled set), scipy.io
 for splits.mat, PIL for output.
 
 Usage:
     python -m bts_tpu.data.tools.extract_nyu \
-        nyu_depth_v2_labeled.mat splits.mat ./nyu_depth_v2
+        nyu_depth_v2_labeled.mat splits.mat ./nyu_depth_v2/official_splits
 """
 
 from __future__ import annotations
@@ -26,11 +33,12 @@ import sys
 import numpy as np
 from PIL import Image
 
-BORDER = 7
 DEPTH_SCALE = 1000.0  # meters -> uint16 millimeters
+ROWS = slice(7, 474)  # kept image region (reference :62)
+COLS = slice(7, 632)
 
 
-def _scene_name(raw) -> str:
+def _decode_chars(raw) -> str:
     return "".join(chr(c) for c in np.asarray(raw).ravel())
 
 
@@ -45,8 +53,8 @@ def extract(labeled_mat: str, splits_mat: str, out_root: str) -> int:
     n = 0
     with h5py.File(labeled_mat, "r") as f:
         images = f["images"]  # (N, 3, W, H) in HDF5 order
-        depths = f["depths"]  # (N, W, H)
-        scenes_refs = f["scenes"][0]
+        depths = f["rawDepths"]  # (N, W, H) — unfilled sensor depth
+        scene_refs = f["sceneTypes"][0]
         count = images.shape[0]
         for i in range(count):
             one_based = i + 1
@@ -55,23 +63,25 @@ def extract(labeled_mat: str, splits_mat: str, out_root: str) -> int:
             elif one_based in test_idx:
                 split = "test"
             else:
-                continue
-            scene = _scene_name(f[scenes_refs[i]][()])
-            scene_dir = os.path.join(out_root, "official_splits", split, scene)
+                raise AssertionError(
+                    f"index {one_based} neither in training nor in test set"
+                )
+            scene = _decode_chars(f[scene_refs[i]][()])
+            scene_dir = os.path.join(out_root, split, scene)
             os.makedirs(scene_dir, exist_ok=True)
 
-            # HDF5 stores (3, W, H): transpose to (H, W, 3).
-            rgb = np.asarray(images[i]).transpose(2, 1, 0)
-            rgb = rgb.copy()
-            rgb[:BORDER, :] = 0
-            rgb[-BORDER:, :] = 0
-            rgb[:, :BORDER] = 0
-            rgb[:, -BORDER:] = 0
-            Image.fromarray(rgb.astype(np.uint8)).save(
+            # HDF5 stores (3, W, H): transpose to (H, W, 3), then embed in
+            # the reference's zeroed 480x640 canvas.
+            rgb = np.asarray(images[i]).transpose(2, 1, 0).astype(np.uint8)
+            canvas = np.zeros((480, 640, 3), dtype=np.uint8)
+            canvas[ROWS, COLS] = rgb[ROWS, COLS]
+            Image.fromarray(canvas).save(
                 os.path.join(scene_dir, f"rgb_{i:05d}.jpg")
             )
 
             depth = np.asarray(depths[i]).T  # (H, W) meters
+            # Reference does a bare astype; clip first so garbage values
+            # can't wrap around (identical for all valid NYU depths <65m).
             depth_mm = np.clip(depth * DEPTH_SCALE, 0, 65535).astype(np.uint16)
             Image.fromarray(depth_mm).save(
                 os.path.join(scene_dir, f"sync_depth_{i:05d}.png")

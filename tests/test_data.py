@@ -59,6 +59,35 @@ def test_manifest_parsing():
     assert e3.gt_path is None
 
 
+def test_vendored_official_manifests():
+    # The four official split lists are vendored verbatim (data files;
+    # reference train_test_inputs/ consumed at pytorch/bts_dataloader.py:99-101).
+    # Entry counts as the reference's readlines() sees them (the files have
+    # no trailing newline, so `wc -l` undercounts by one for three of them):
+    # NYU test = 654 — the reference README's "654 images"
+    # (tensorflow/README.md:72) — and Eigen test = 697, the canonical KITTI
+    # Eigen split size (652 of which carry gt).
+    root = os.path.join(os.path.dirname(__file__), "..", "train_test_inputs")
+    expected = {
+        "nyudepthv2_train_files_with_gt.txt": 24231,
+        "nyudepthv2_test_files_with_gt.txt": 654,
+        "eigen_train_files_with_gt.txt": 23158,
+        "eigen_test_files_with_gt.txt": 697,
+    }
+    for name, count in expected.items():
+        entries = load_manifest(os.path.join(root, name))
+        assert len(entries) == count, name
+        assert all(np.isfinite(e.focal) and e.focal > 0 for e in entries)
+    # 45 eigen test frames have no gt (literal 'None') — parser maps to None.
+    eigen_test = load_manifest(os.path.join(root, "eigen_test_files_with_gt.txt"))
+    assert sum(e.gt_path is None for e in eigen_test) == 45
+    # Every NYU train line uses the shared NYU focal.
+    nyu_train = load_manifest(
+        os.path.join(root, "nyudepthv2_train_files_with_gt.txt")
+    )
+    assert all(e.focal == pytest.approx(518.8579) for e in nyu_train)
+
+
 def test_train_loader_shapes_and_determinism(nyu_dataset):
     root, manifest = nyu_dataset
     cfg = _nyu_cfg(root, manifest)
