@@ -154,6 +154,120 @@ def frame_to_cloud(
     return points[keep], colors[keep]
 
 
+def _rotation(azimuth_deg: float, elevation_deg: float) -> np.ndarray:
+    """World rotation for an orbiting camera (the headless stand-in for the
+    reference's trackball MVP, pytorch/bts_live_3d.py:455-484)."""
+    az = np.deg2rad(azimuth_deg)
+    el = np.deg2rad(elevation_deg)
+    ry = np.array(
+        [
+            [np.cos(az), 0, np.sin(az)],
+            [0, 1, 0],
+            [-np.sin(az), 0, np.cos(az)],
+        ]
+    )
+    rx = np.array(
+        [
+            [1, 0, 0],
+            [0, np.cos(el), -np.sin(el)],
+            [0, np.sin(el), np.cos(el)],
+        ]
+    )
+    return rx @ ry
+
+
+def render_cloud(
+    points: np.ndarray,
+    colors: np.ndarray,
+    height: int = 480,
+    width: int = 640,
+    azimuth_deg: float = 0.0,
+    elevation_deg: float = 0.0,
+    distance: float = None,
+    focal: float = NYU_FOCAL,
+    splat: int = 2,
+    background: float = 0.0,
+) -> np.ndarray:
+    """Offscreen point-cloud render -> (H, W, 3) uint8.
+
+    Software equivalent of the reference's GL_POINTS pass
+    (pytorch/bts_live_3d.py:383-484): orbit the camera about the cloud
+    centroid, pinhole-project, and resolve occlusion with a painter's sort
+    (points drawn far-to-near, near wins — exact for 1px point splats).
+    """
+    img = np.full((height, width, 3), background, np.float32)
+    if points.size == 0:
+        return (img * 255).astype(np.uint8)
+    center = points.mean(axis=0)
+    p = (points - center) @ _rotation(azimuth_deg, elevation_deg).T
+    if distance is None:
+        distance = 2.0 * float(np.abs(p).max())
+    p = p + np.array([0.0, 0.0, distance])
+
+    z = p[:, 2]
+    front = z > 1e-3
+    p, c, z = p[front], colors[front], z[front]
+    u = np.round(focal * p[:, 0] / z + (width - 1) / 2.0).astype(np.int64)
+    v = np.round(focal * p[:, 1] / z + (height - 1) / 2.0).astype(np.int64)
+    inside = (u >= 0) & (u < width) & (v >= 0) & (v < height)
+    u, v, c, z = u[inside], v[inside], c[inside], z[inside]
+    order = np.argsort(-z)  # far first; near overwrites
+    u, v, c = u[order], v[order], c[order]
+    for du in range(splat):
+        for dv in range(splat):
+            uu = np.clip(u + du, 0, width - 1)
+            vv = np.clip(v + dv, 0, height - 1)
+            img[vv, uu] = c
+    return (np.clip(img, 0, 1) * 255).astype(np.uint8)
+
+
+def run_headless(
+    cfg: Config,
+    image_dir: str,
+    out_dir: str = "",
+    views=((0.0, 0.0), (-25.0, -10.0), (25.0, -10.0)),
+    edge_threshold: float = 0.3,
+) -> int:
+    """Directory-of-frames -> depth -> point cloud -> rendered PNGs.
+
+    The headless twin of the reference's live GL loop (capability E10):
+    each input frame produces one render per requested (azimuth, elevation)
+    view in out_dir. Returns the number of frames processed.
+    """
+    import glob
+    import os
+
+    from PIL import Image
+
+    out_dir = out_dir or os.path.join(image_dir, "cloud")
+    os.makedirs(out_dir, exist_ok=True)
+    depth_fn = make_depth_fn(cfg)
+    frames = sorted(
+        glob.glob(os.path.join(image_dir, "*.png"))
+        + glob.glob(os.path.join(image_dir, "*.jpg"))
+    )
+    n = 0
+    for path in frames:
+        rgb = np.asarray(Image.open(path).convert("RGB"))
+        points, colors = frame_to_cloud(rgb, depth_fn, edge_threshold)
+        stem = os.path.splitext(os.path.basename(path))[0]
+        for vi, (az, el) in enumerate(views):
+            img = render_cloud(
+                points,
+                colors,
+                height=rgb.shape[0],
+                width=rgb.shape[1],
+                azimuth_deg=az,
+                elevation_deg=el,
+            )
+            Image.fromarray(img).save(
+                os.path.join(out_dir, f"{stem}_cloud_{vi}.png")
+            )
+        n += 1
+        print(f"[{n}/{len(frames)}] {stem}: {points.shape[0]} points")
+    return n
+
+
 def main(cfg: Config) -> int:  # pragma: no cover - requires GUI stack
     """Launch the interactive viewer (requires cv2 + Qt + OpenGL)."""
     try:
