@@ -58,9 +58,19 @@ def run_online_eval(
     loader: Optional[EvalLoader] = None,
     forward: Optional[Callable] = None,
     verbose: bool = True,
+    process_info: Optional[tuple] = None,
+    allgather_fn: Optional[Callable] = None,
 ) -> Optional[np.ndarray]:
-    """Returns the 9 mean metrics (or None for non-primary processes)."""
-    nproc, pidx = jax.process_count(), jax.process_index()
+    """Returns the 9 mean metrics (or None for non-primary processes).
+
+    process_info=(nproc, pidx) and allgather_fn are injectable so the
+    cross-process reduction path can be simulated (and its shard-composition
+    math asserted) in single-process tests.
+    """
+    if process_info is not None:
+        nproc, pidx = process_info
+    else:
+        nproc, pidx = jax.process_count(), jax.process_index()
     if loader is None:
         loader = EvalLoader(cfg, "online_eval", num_shards=nproc, shard_index=pidx)
     if forward is None:
@@ -96,12 +106,13 @@ def run_online_eval(
     if nproc > 1:
         # Cross-process metric reduction — the reference's
         # dist.all_reduce(SUM) (pytorch/bts_main.py:302-304).
-        from jax.experimental import multihost_utils
+        if allgather_fn is None:
+            from jax.experimental import multihost_utils
+
+            allgather_fn = multihost_utils.process_allgather
 
         vec = np.concatenate([sums, [count]]).astype(np.float32)
-        vec = np.asarray(
-            multihost_utils.process_allgather(vec)
-        ).sum(axis=0)
+        vec = np.asarray(allgather_fn(vec)).sum(axis=0)
         sums, count = vec[:9].astype(np.float64), int(round(float(vec[9])))
 
     if pidx != 0:

@@ -34,16 +34,27 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: dict, mesh: Mesh, axis_name: str = "data") -> dict:
+def shard_batch(
+    batch: dict,
+    mesh: Mesh,
+    axis_name: str = "data",
+    num_processes: int | None = None,
+) -> dict:
     """Place a host batch with the leading dim sharded over the mesh.
 
     Single-host: a plain sharded device_put. Multi-host: each process holds
     its local slice of the global batch; assemble the global array from
     process-local data (the SPMD analogue of DistributedSampler feeding each
     DDP rank its shard).
+
+    num_processes is injectable so the multi-host assembly path can be
+    exercised in single-process tests (it degenerates to the same placement
+    when all shards are locally addressable).
     """
     sharding = batch_sharding(mesh, axis_name)
-    if jax.process_count() > 1:
+    if num_processes is None:
+        num_processes = jax.process_count()
+    if num_processes > 1:
         return jax.tree.map(
             lambda x: jax.make_array_from_process_local_data(sharding, x),
             batch,

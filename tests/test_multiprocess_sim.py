@@ -1,0 +1,127 @@
+"""Single-process simulation of the multi-process (multi-host) branches.
+
+The reference exercises its distributed paths only on real hardware
+(mp.spawn + NCCL, pytorch/bts_main.py:556-604; eval all_reduce :302-304).
+Here the process count and the collective are injectable, so the
+`process_count() > 1` code executes inside the suite and its
+shard-composition math is asserted against the single-process result.
+"""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+
+from bts_tpu.config import Config
+from bts_tpu.data.loader import EvalLoader
+from bts_tpu.evaluation.online import make_eval_forward, run_online_eval
+from bts_tpu.models.bts import create_model, init_model
+from bts_tpu.parallel.mesh import make_mesh, shard_batch
+
+H, W = 64, 96
+
+
+def test_shard_batch_multihost_assembly_matches_device_put():
+    # num_processes>1 routes through make_array_from_process_local_data;
+    # with every shard locally addressable it must produce the same global
+    # array + sharding as the single-host device_put path.
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": rng.normal(size=(8, H, W, 3)).astype(np.float32),
+        "focal": np.full((8,), 518.8579, np.float32),
+    }
+    single = shard_batch(batch, mesh)
+    multi = shard_batch(batch, mesh, num_processes=2)
+    for k in batch:
+        np.testing.assert_array_equal(np.asarray(single[k]), np.asarray(multi[k]))
+        assert multi[k].sharding.is_equivalent_to(single[k].sharding, multi[k].ndim)
+
+
+@pytest.fixture(scope="module")
+def eval_setup(tmp_path_factory):
+    root = tmp_path_factory.mktemp("mp_eval") / "data"
+    scene = root / "office_0001"
+    scene.mkdir(parents=True)
+    rng = np.random.default_rng(7)
+    lines = []
+    for i in range(5):
+        rgb = rng.integers(0, 255, size=(H, W, 3), dtype=np.uint8)
+        depth = rng.integers(500, 9000, size=(H, W), dtype=np.uint16)
+        Image.fromarray(rgb).save(scene / f"rgb_{i:05d}.jpg")
+        Image.fromarray(depth).save(scene / f"sync_depth_{i:05d}.png")
+        lines.append(
+            f"office_0001/rgb_{i:05d}.jpg office_0001/sync_depth_{i:05d}.png 518.8579"
+        )
+    manifest = root / "files.txt"
+    manifest.write_text("\n".join(lines) + "\n")
+    cfg = Config(
+        encoder="mobilenetv2_bts",
+        dataset="nyu",
+        max_depth=10.0,
+        data_path_eval=str(root),
+        gt_path_eval=str(root),
+        filenames_file_eval=str(manifest),
+        min_depth_eval=1e-3,
+        max_depth_eval=10.0,
+        eval_batch_size=2,
+        input_height=H,
+        input_width=W,
+    )
+    model = create_model(cfg)
+    params, stats = init_model(model, jax.random.key(0), (1, H, W, 3))
+    return cfg, model, {"params": params, "batch_stats": stats}
+
+
+def test_online_eval_simulated_3process_equals_single(eval_setup):
+    cfg, model, variables = eval_setup
+    forward = make_eval_forward(model)  # shared jit cache across "ranks"
+
+    single = run_online_eval(model, variables, cfg, forward=forward, verbose=False)
+    assert single is not None
+
+    # Phase 1: run each simulated rank on its [r::3] shard; capture the
+    # local metric vector its allgather would contribute.
+    local_vecs = []
+
+    def capture(vec):
+        local_vecs.append(np.array(vec, copy=True))
+        return np.stack([vec])
+
+    for r in range(3):
+        loader = EvalLoader(cfg, "online_eval", num_shards=3, shard_index=r)
+        out = run_online_eval(
+            model,
+            variables,
+            cfg,
+            loader,
+            forward,
+            verbose=False,
+            process_info=(3, r),
+            allgather_fn=capture,
+        )
+        if r != 0:
+            assert out is None  # non-primary ranks return None
+
+    assert len(local_vecs) == 3
+    # Exact-count sharding: the 5 samples are partitioned, none duplicated.
+    assert sum(int(round(float(v[9]))) for v in local_vecs) == 5
+
+    # Phase 2: replay rank 0 with the full gathered stack — the production
+    # reduction path computes the combined measures.
+    loader0 = EvalLoader(cfg, "online_eval", num_shards=3, shard_index=0)
+    combined = run_online_eval(
+        model,
+        variables,
+        cfg,
+        loader0,
+        forward,
+        verbose=False,
+        process_info=(3, 0),
+        allgather_fn=lambda vec: np.stack(
+            [vec] + [v for v in local_vecs[1:]]
+        ),
+    )
+    # float32 collective payload (matches device collectives) -> small tol.
+    np.testing.assert_allclose(combined, single, rtol=2e-5)
