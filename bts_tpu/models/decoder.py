@@ -278,7 +278,32 @@ def _conv(x, kernel, padding, precision):
 
 
 def _grouped_1x1(x, k, groups, precision):
-    """Per-phase 1x1 conv: same kernel applied to each phase block."""
+    """Per-phase 1x1 conv: same kernel applied to each phase block.
+
+    In bf16 mode the grouped form is computed as a DENSE conv with the
+    kernel embedded block-diagonally (same trick as
+    layers._BlockDiagGroupedConv): XLA:TPU lowers feature_group_count
+    convs at small group width into 5-D reshapes + layout copies that
+    dominated the training-step profile (~15 ms/step of the reduc1x1
+    chain's fwd+bwd at 416x544 b16). The dense form is exact math — the
+    off-diagonal blocks are zeros — and MXU-native. f32 mode keeps the
+    grouped lowering so accumulation order matches the reference exactly.
+    """
+    ci, co = k.shape[2], k.shape[3]
+    if x.dtype == jnp.bfloat16:
+        dense = jnp.zeros((1, 1, ci * groups, co * groups), k.dtype)
+        for g in range(groups):
+            dense = dense.at[
+                :, :, g * ci : (g + 1) * ci, g * co : (g + 1) * co
+            ].set(k)
+        return jax.lax.conv_general_dilated(
+            x,
+            dense,
+            window_strides=(1, 1),
+            padding=((0, 0), (0, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=precision,
+        )
     return jax.lax.conv_general_dilated(
         x,
         jnp.tile(k, (1, 1, 1, groups)),
