@@ -221,12 +221,17 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> int:
     profiling = False
 
     # ---- Pipelined readback -------------------------------------------
-    # The hot loop dispatches step N, then reads back step N-1's loss — a
-    # one-step-delayed sync (same pattern as bench.py). Over the axon
-    # tunnel a same-step readback costs ~30ms of dead time per step; the
-    # delayed form overlaps it with device compute. The NaN abort operates
-    # on the delayed value (one step late, same -1 contract).
-    pending = None  # info dict for the step whose loss we haven't read yet
+    # The hot loop dispatches step N, then reads back step N-3's loss — a
+    # delayed sync (same pattern as bench.py). Over the axon tunnel a
+    # same-step readback costs ~30ms of dead time per step, and a depth-1
+    # pipeline still leaves ~20ms of dispatch gap; depth 3 was measured to
+    # close the gap to device-busy time exactly (scripts/bench_train.py
+    # --delay). The NaN abort operates on the delayed value (a few steps
+    # late, same -1 contract as pytorch/bts_main.py:464-466).
+    from collections import deque
+
+    pipeline_depth = 3
+    pending = deque()  # info dicts for steps whose loss we haven't read yet
     panel_forward = None
 
     def process_pending(p) -> bool:
@@ -321,13 +326,15 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> int:
                 "duration": 0.0,
             }
 
-            if pending is not None and not process_pending(pending):
-                return finish(-1)
             duration += time.time() - t0
             if will_log:
                 this_step["duration"] = duration
                 duration = 0.0
-            pending = this_step
+            pending.append(this_step)
+            if len(pending) > pipeline_depth and not process_pending(
+                pending.popleft()
+            ):
+                return finish(-1)
 
             will_save = (
                 not cfg.do_online_eval
@@ -342,10 +349,10 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> int:
             )
             if will_save or will_eval:
                 # These blocks synchronize on the full state anyway; flush
-                # the delayed readback first so logs stay in step order.
-                if not process_pending(pending):
-                    return finish(-1)
-                pending = None
+                # the delayed readbacks first so logs stay in step order.
+                while pending:
+                    if not process_pending(pending.popleft()):
+                        return finish(-1)
 
             if (
                 not cfg.do_online_eval
@@ -389,11 +396,13 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> int:
 
             model_just_loaded = False
             if max_steps is not None and global_step >= max_steps:
-                if pending is not None and not process_pending(pending):
-                    return finish(-1)
+                while pending:
+                    if not process_pending(pending.popleft()):
+                        return finish(-1)
                 return finish(global_step)
         epoch += 1
 
-    if pending is not None and not process_pending(pending):
-        return finish(-1)
+    while pending:
+        if not process_pending(pending.popleft()):
+            return finish(-1)
     return finish(global_step)
