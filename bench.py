@@ -60,16 +60,20 @@ def main() -> None:
     float(forward(variables, images[0], focal))
     float(forward(variables, images[1], focal))
 
-    # Pipelined throughput: keep the device queue 2 deep, sync via the
-    # previous iteration's scalar readback so dispatch overlaps execution.
+    # Pipelined throughput: keep the device queue a few steps deep, sync
+    # via a delayed scalar readback so dispatch overlaps execution (depth 3
+    # measured to close the host dispatch gap exactly; see
+    # scripts/bench_train.py --delay).
     n_iters = 16
+    delay = 3
     outs = []
     t0 = time.perf_counter()
     for i in range(n_iters):
         outs.append(forward(variables, images[i % len(images)], focal))
-        if i >= 1:
-            float(outs[i - 1])
-    float(outs[-1])
+        if i >= delay:
+            float(outs[i - delay])
+    for o in outs[n_iters - delay :]:
+        float(o)
     elapsed = time.perf_counter() - t0
     imgs_per_sec = batch * n_iters / elapsed
     print(

@@ -562,9 +562,22 @@ class BTSDecoder(nn.Module):
 
         # get_depth in phase form, then a single depth_to_space.
         kd = _NamedConvKernel((3, 3, co, 1), name="get_depth")().astype(dt)
-        logits = _conv(
-            iconv1, _s2d_conv3_kernel(kd), ((1, 1), (1, 1)), precision
-        )
+        kd_s2d = _s2d_conv3_kernel(kd)  # (3, 3, 4*co, 4)
+        if jnp.dtype(dt) == jnp.bfloat16:
+            # A 4-channel conv output uses 4 of 128 MXU/lane columns and was
+            # measured ~10x off roofline (7.8 ms at 480x640 b32). Padding
+            # the kernel's output dim to co (zeros) runs the matmul at full
+            # lane width; the slice afterwards is cheap. Exact math — the
+            # added columns are zero and discarded.
+            pad_n = co - kd_s2d.shape[-1]
+            kd_pad = jnp.concatenate(
+                [kd_s2d, jnp.zeros((*kd_s2d.shape[:3], pad_n), dt)], axis=-1
+            )
+            logits = _conv(iconv1, kd_pad, ((1, 1), (1, 1)), precision)[
+                ..., :4
+            ]
+        else:
+            logits = _conv(iconv1, kd_s2d, ((1, 1), (1, 1)), precision)
         depth_s2d = self.max_depth * jax.nn.sigmoid(
             logits.astype(jnp.float32)
         )

@@ -9,6 +9,19 @@ graph (tensorflow/bts.py:105-235).
 
 feat_out_channels: densenet121 [64,64,128,256,1024];
 densenet161 [96,96,192,384,2208] (pytorch/bts.py:276,280).
+
+TPU note — the virtual-concat dense block (bf16 default): torchvision's
+dense layer concatenates ALL previous features before its bottleneck,
+which on TPU materializes an O(L^2)-traffic chain of concatenates
+(measured 23% of DenseNet161 inference device time). Because BatchNorm is
+per-channel and a 1x1 conv is linear in input channels,
+conv1x1(relu(bn(concat(parts)))) == sum_p conv1x1_p(relu(bn_p(part_p)))
+exactly — so the block keeps a LIST of feature tensors and never
+materializes the concatenation (VirtualBatchNorm + SplitConv, identical
+param trees). Trailing parts are coalesced into growth_rate*CHUNK-channel
+chunks so each per-part conv keeps an MXU-efficient contraction width.
+f32 mode keeps the plain concat path for reference-exact accumulation
+order; equivalence is pinned by tests/test_densenet_split.py.
 """
 
 from __future__ import annotations
@@ -18,66 +31,149 @@ from typing import Any, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from bts_tpu.models.layers import BatchNorm, Conv
+from bts_tpu.models.layers import (
+    BatchNorm,
+    Conv,
+    SplitConv,
+    VirtualBatchNorm,
+)
 
 Dtype = Any
 
+# Coalesce this many trailing growth-rate parts into one chunk (keeps the
+# per-part 1x1 convs at contraction width >= 128 for growth 32/48 while
+# bounding the op count at ~7 parts per layer in the deepest block).
+_CHUNK = 4
+
+# Virtual-concat only pays off in DEEP blocks: measured on v5e, split mode
+# cut block3 (36 layers, 30x40) by ~20% but slightly hurt the shallow
+# high-res blocks (per-part 1x1 convs underutilize the MXU contraction at
+# K=48..192 while the removed concats were cheap relative). Blocks below
+# this layer count keep the plain concat path.
+_SPLIT_MIN_LAYERS = 16
+
 
 class DenseLayer(nn.Module):
-    """BN -> ReLU -> 1x1 conv(4g) -> BN -> ReLU -> 3x3 conv(g); concat."""
+    """BN -> ReLU -> 1x1 conv(4g) -> BN -> ReLU -> 3x3 conv(g).
+
+    Takes the list of previous feature tensors (a virtual concatenation)
+    and returns only the NEW growth_rate features; the block decides how
+    to accumulate them.
+    """
 
     growth_rate: int
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        y = BatchNorm(dtype=self.dtype, name="norm1")(x, train=train)
-        y = nn.relu(y)
-        y = Conv(4 * self.growth_rate, (1, 1), dtype=self.dtype, name="conv1")(y)
+    def __call__(self, parts, train: bool = False):
+        total_in = sum(p.shape[-1] for p in parts)
+        if len(parts) == 1:
+            y = BatchNorm(dtype=self.dtype, name="norm1")(
+                parts[0], train=train
+            )
+            y = nn.relu(y)
+            y = Conv(
+                4 * self.growth_rate, (1, 1), dtype=self.dtype, name="conv1"
+            )(y)
+        else:
+            ys = VirtualBatchNorm(total_in, dtype=self.dtype, name="norm1")(
+                parts, train=train
+            )
+            y = SplitConv(
+                4 * self.growth_rate,
+                (1, 1),
+                padding=0,
+                dtype=self.dtype,
+                name="conv1",
+            )([nn.relu(p) for p in ys])
         y = BatchNorm(dtype=self.dtype, name="norm2")(y, train=train)
         y = nn.relu(y)
-        y = Conv(self.growth_rate, (3, 3), padding=1, dtype=self.dtype, name="conv2")(y)
-        return jnp.concatenate([x, y], axis=-1)
+        y = Conv(
+            self.growth_rate, (3, 3), padding=1, dtype=self.dtype, name="conv2"
+        )(y)
+        return y
 
 
 class DenseBlock(nn.Module):
     num_layers: int
     growth_rate: int
     dtype: Dtype = jnp.float32
+    split: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        """Returns the block output as a tensor (split=False) or as the
+        parts list of the virtual concatenation (split=True)."""
+        parts = [x]
+        tail = 0
         for i in range(self.num_layers):
-            x = DenseLayer(
+            new = DenseLayer(
                 self.growth_rate, dtype=self.dtype, name=f"denselayer{i + 1}"
-            )(x, train=train)
-        return x
+            )(parts, train=train)
+            if self.split:
+                parts.append(new)
+                tail += 1
+                if tail == _CHUNK:
+                    parts = parts[:-tail] + [
+                        jnp.concatenate(parts[-tail:], axis=-1)
+                    ]
+                    tail = 0
+            else:
+                parts = [jnp.concatenate([parts[0], new], axis=-1)]
+        return parts if self.split else parts[0]
 
 
 class Transition(nn.Module):
-    """BN -> ReLU -> 1x1 conv(C/2) -> avgpool 2x2/2."""
+    """BN -> ReLU -> 1x1 conv(C/2) -> avgpool 2x2/2. Accepts a tensor or
+    a parts list (virtual concatenation)."""
 
     out_features: int
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = BatchNorm(dtype=self.dtype, name="norm")(x, train=train)
-        x = nn.relu(x)
-        x = Conv(self.out_features, (1, 1), dtype=self.dtype, name="conv")(x)
-        return nn.avg_pool(x, (2, 2), strides=(2, 2))
+        parts = x if isinstance(x, (list, tuple)) else [x]
+        total_in = sum(p.shape[-1] for p in parts)
+        if len(parts) == 1:
+            y = BatchNorm(dtype=self.dtype, name="norm")(parts[0], train=train)
+            y = nn.relu(y)
+            y = Conv(self.out_features, (1, 1), dtype=self.dtype, name="conv")(
+                y
+            )
+        else:
+            ys = VirtualBatchNorm(total_in, dtype=self.dtype, name="norm")(
+                parts, train=train
+            )
+            y = SplitConv(
+                self.out_features,
+                (1, 1),
+                padding=0,
+                dtype=self.dtype,
+                name="conv",
+            )([nn.relu(p) for p in ys])
+        return nn.avg_pool(y, (2, 2), strides=(2, 2))
 
 
 class DenseNetEncoder(nn.Module):
-    """Returns the 5 BTS skip features (pytorch/bts.py:305-320)."""
+    """Returns the 5 BTS skip features (pytorch/bts.py:305-320).
+
+    split='auto' enables the virtual-concat dense block in bf16 mode and
+    keeps the reference-exact concat path in f32 (same convention as the
+    other TPU layout transforms in this package).
+    """
 
     block_config: Tuple[int, int, int, int]
     growth_rate: int
     num_init_features: int
     dtype: Dtype = jnp.float32
+    split: Any = "auto"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # 'auto': bf16 only, and only for deep blocks (see _SPLIT_MIN_LAYERS).
+        # Explicit True/False forces every block (used by equivalence tests).
+        auto = self.split == "auto" and jnp.dtype(self.dtype) == jnp.bfloat16
+        forced = self.split is True
         skips = []
         x = Conv(
             self.num_init_features,
@@ -96,7 +192,11 @@ class DenseNetEncoder(nn.Module):
         num_features = self.num_init_features
         for i, num_layers in enumerate(self.block_config):
             x = DenseBlock(
-                num_layers, self.growth_rate, dtype=self.dtype, name=f"denseblock{i + 1}"
+                num_layers,
+                self.growth_rate,
+                dtype=self.dtype,
+                split=forced or (auto and num_layers >= _SPLIT_MIN_LAYERS),
+                name=f"denseblock{i + 1}",
             )(x, train=train)
             num_features += num_layers * self.growth_rate
             if i != len(self.block_config) - 1:
@@ -106,8 +206,18 @@ class DenseNetEncoder(nn.Module):
                 )(x, train=train)
                 if i < 2:
                     skips.append(x)  # 'transition1' H/8, 'transition2' H/16
-        x = BatchNorm(dtype=self.dtype, name="norm5")(x, train=train)
-        skips.append(x)  # 'norm5' — H/32, pre-ReLU (decoder applies ReLU)
+        # norm5 — H/32, pre-ReLU (decoder applies ReLU). In split mode the
+        # final concat happens exactly once, after the per-part BN.
+        if isinstance(x, list):
+            x = jnp.concatenate(
+                VirtualBatchNorm(
+                    sum(p.shape[-1] for p in x), dtype=self.dtype, name="norm5"
+                )(x, train=train),
+                axis=-1,
+            )
+        else:
+            x = BatchNorm(dtype=self.dtype, name="norm5")(x, train=train)
+        skips.append(x)
         return skips
 
 

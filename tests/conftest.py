@@ -29,3 +29,8 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="module")
+def rng_module():
+    return np.random.default_rng(0)

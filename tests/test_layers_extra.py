@@ -57,15 +57,30 @@ def test_blockdiag_grouped_conv_matches_grouped(rng):
     assert rel < 0.01, rel
 
 
-def test_depthwise_stays_grouped(rng):
-    """Depthwise (C/g < 4) must NOT take the block-diagonal path (the FLOP
-    blowup would dominate); both dtypes give the same tree + close values."""
-    x = rng.normal(size=(1, 8, 8, 16)).astype(np.float32) * 0.1
-    m = Conv(16, (3, 3), padding=1, groups=16, dtype=jnp.bfloat16)
-    variables = m.init(jax.random.key(0), jnp.asarray(x))
-    assert variables["params"]["conv"]["kernel"].shape == (3, 3, 1, 16)
-    out = m.apply(variables, jnp.asarray(x))
-    assert out.shape == (1, 8, 8, 16)
+def test_depthwise_shift_matches_grouped(rng):
+    """bf16 depthwise convs run as kh*kw shifted elementwise FMAs (the
+    grouped XLA:TPU lowering is the known-slow path); must match the f32
+    grouped path within bf16 tolerance with the identical param tree,
+    for both strides MobileNetV2 uses."""
+    for stride, hw in ((1, (9, 11)), (2, (10, 12))):
+        x = rng.normal(size=(2, *hw, 16)).astype(np.float32) * 0.1
+        m_bf = Conv(
+            16, (3, 3), strides=(stride, stride), padding=1, groups=16,
+            dtype=jnp.bfloat16,
+        )
+        m_f32 = Conv(
+            16, (3, 3), strides=(stride, stride), padding=1, groups=16,
+            dtype=jnp.float32,
+        )
+        variables = m_bf.init(jax.random.key(0), jnp.asarray(x))
+        assert variables["params"]["conv"]["kernel"].shape == (3, 3, 1, 16)
+        got = np.asarray(m_bf.apply(variables, jnp.asarray(x))).astype(
+            np.float32
+        )
+        want = np.asarray(m_f32.apply(variables, jnp.asarray(x)))
+        assert got.shape == want.shape
+        rel = np.abs(got - want).max() / np.abs(want).max()
+        assert rel < 0.02, (stride, rel)
 
 
 def test_remat_model_matches_plain():
