@@ -30,7 +30,7 @@ def main() -> None:
     from bts_tpu.models.bts import create_model, init_model
 
     h, w = 480, 640
-    batch = 32  # batched inference (reference is batch-1)
+    batch = 64  # batched inference (reference is batch-1)
     cfg = Config(
         encoder="densenet161_bts",
         dataset="nyu",
