@@ -518,18 +518,47 @@ class BTSDecoder(nn.Module):
             for b in (0, 1):
                 comp = comp.at[a : a + 3, b : b + 3].add(k_up)
         x = iconv2.astype(dt)
-        phases = []
-        for a in (0, 1):
-            for b in (0, 1):
-                phases.append(
-                    _conv(
-                        x,
-                        comp[a::2, b::2],
-                        ((1 - a, a), (1 - b, b)),
-                        precision,
+        if jnp.dtype(dt) == jnp.bfloat16:
+            # All four phase convs as ONE 3x3 VALID conv on a pad-1 input
+            # with a phase-structured (3,3,Ci,4co) kernel. The separate
+            # 2x2 convs emit 32-channel outputs that XLA lays out
+            # batch-minor (lanes=batch, 50% lane use at b64) and that
+            # layout cascades through the whole tail; the fused form is a
+            # single full-width MXU pass (profiled 18ms -> ~4ms at
+            # 480x640 b64). Exact math: phase (a,b) output(i,j) =
+            # sum_{q-a,r-b in {0,1}} comp[2q-a, 2r-b] . x[i+q-1, j+r-1],
+            # zeros elsewhere.
+            ci = iconv2.shape[-1]
+            kphase = jnp.zeros((3, 3, ci, 4 * co), dt)
+            for a in (0, 1):
+                for b in (0, 1):
+                    p = 2 * a + b
+                    for q in range(3):
+                        if not 0 <= q - a <= 1:
+                            continue
+                        for r_ in range(3):
+                            if not 0 <= r_ - b <= 1:
+                                continue
+                            kphase = kphase.at[
+                                q, r_, :, p * co : (p + 1) * co
+                            ].set(comp[2 * q - a, 2 * r_ - b])
+            xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+            up1 = nn.elu(
+                _conv(xp, kphase, ((0, 0), (0, 0)), precision)
+            )
+        else:
+            phases = []
+            for a in (0, 1):
+                for b in (0, 1):
+                    phases.append(
+                        _conv(
+                            x,
+                            comp[a::2, b::2],
+                            ((1 - a, a), (1 - b, b)),
+                            precision,
+                        )
                     )
-                )
-        up1 = nn.elu(jnp.concatenate(phases, axis=-1))
+            up1 = nn.elu(jnp.concatenate(phases, axis=-1))
 
         # reduc1x1 chain as grouped per-phase 1x1 convs.
         reduc_kernels = _FastReducParams(
@@ -563,21 +592,12 @@ class BTSDecoder(nn.Module):
         # get_depth in phase form, then a single depth_to_space.
         kd = _NamedConvKernel((3, 3, co, 1), name="get_depth")().astype(dt)
         kd_s2d = _s2d_conv3_kernel(kd)  # (3, 3, 4*co, 4)
-        if jnp.dtype(dt) == jnp.bfloat16:
-            # A 4-channel conv output uses 4 of 128 MXU/lane columns and was
-            # measured ~10x off roofline (7.8 ms at 480x640 b32). Padding
-            # the kernel's output dim to co (zeros) runs the matmul at full
-            # lane width; the slice afterwards is cheap. Exact math — the
-            # added columns are zero and discarded.
-            pad_n = co - kd_s2d.shape[-1]
-            kd_pad = jnp.concatenate(
-                [kd_s2d, jnp.zeros((*kd_s2d.shape[:3], pad_n), dt)], axis=-1
-            )
-            logits = _conv(iconv1, kd_pad, ((1, 1), (1, 1)), precision)[
-                ..., :4
-            ]
-        else:
-            logits = _conv(iconv1, kd_s2d, ((1, 1), (1, 1)), precision)
+        # The 4-wide output is NOT padded to lane width: XLA fuses this
+        # conv into the k1_main conv's fusion where it is nearly free
+        # (measured; a padded-kernel + optimization_barrier variant was
+        # 5 img/s slower at 480x640 b64 because the barrier forced an
+        # extra 128-wide materialization).
+        logits = _conv(iconv1, kd_s2d, ((1, 1), (1, 1)), precision)
         depth_s2d = self.max_depth * jax.nn.sigmoid(
             logits.astype(jnp.float32)
         )

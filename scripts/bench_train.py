@@ -38,7 +38,7 @@ def main() -> None:
     ap.add_argument(
         "--delay",
         type=int,
-        default=1,
+        default=3,  # matches the train driver's depth-3 pipelined readback
         help="readback delay in steps (pipeline depth)",
     )
     args = ap.parse_args()

@@ -76,3 +76,31 @@ def test_fast_tail_equals_plain_tail(rng):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5, err_msg=name
         )
+
+
+def test_fast_tail_bf16_matches_f32(rng):
+    """The bf16 fast tail takes different exact-math branches (fused
+    phase conv, block-diag grouped 1x1s, padded depth head); it must
+    track the f32 plain tail within bf16 tolerance."""
+    channels = [64, 64, 128, 256, 1024]
+    divs = [2, 4, 8, 16, 32]
+    skips = [
+        jnp.asarray(
+            rng.normal(size=(2, H // d, W // d, c)).astype(np.float32) * 0.2
+        )
+        for d, c in zip(divs, channels)
+    ]
+    focal = jnp.array([518.8579, 600.0])
+
+    slow = BTSDecoder(max_depth=10.0, dataset="nyu", fast_tail=False)
+    fast_bf = BTSDecoder(
+        max_depth=10.0, dataset="nyu", fast_tail=True, dtype=jnp.bfloat16
+    )
+    variables = slow.init(jax.random.key(0), skips, focal, train=False)
+    outs_s = slow.apply(variables, skips, focal, train=False)
+    outs_b = fast_bf.apply(variables, skips, focal, train=False)
+    names = ["lpg8x8", "lpg4x4", "lpg2x2", "reduc1x1", "depth"]
+    for name, a, b in zip(names, outs_b, outs_s):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        rel = np.abs(a - b).max() / np.abs(b).max()
+        assert rel < 0.03, (name, rel)
