@@ -584,9 +584,18 @@ class BTSDecoder(nn.Module):
         # Aux input in phase-major blocks: [phase, (reduc, d2, d4, d8)].
         aux = jnp.stack([reduc_s2d, d2_s2d, d4_s2d, d8_s2d], axis=-1)
         aux = aux.reshape(*aux.shape[:3], 16)
+        # One conv over the channel concat instead of summing two convs:
+        # the separate aux conv (16-wide contraction) profiled 7.5 ms at
+        # 480x640 b64 vs ~3.4 ms of concat traffic (this also mirrors the
+        # reference's cat-then-conv1, pytorch/bts.py:258-259).
+        k1_cat = jnp.concatenate([k1_main, k1_aux], axis=2)
         iconv1 = nn.elu(
-            _conv(up1, k1_main, ((1, 1), (1, 1)), precision)
-            + _conv(aux, k1_aux, ((1, 1), (1, 1)), precision)
+            _conv(
+                jnp.concatenate([up1, aux], axis=-1),
+                k1_cat,
+                ((1, 1), (1, 1)),
+                precision,
+            )
         )
 
         # get_depth in phase form, then a single depth_to_space.
