@@ -30,10 +30,10 @@ def main() -> None:
     ap.add_argument("encoders", nargs="*", default=None)
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--width", type=int, default=640)
-    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--dataset", default="nyu")
-    ap.add_argument("--iters", type=int, default=16)
-    ap.add_argument("--delay", type=int, default=3)
+    ap.add_argument("--iters", type=int, default=24)
+    ap.add_argument("--delay", type=int, default=4)
     args = ap.parse_args()
 
     if jax.default_backend() == "tpu":

@@ -20,6 +20,8 @@ import numpy as np
 import pytest
 import torch
 
+pytestmark = pytest.mark.slow  # multi-minute: full-model builds / oracles / e2e
+
 REFERENCE_PT = "/root/reference/pytorch"
 
 

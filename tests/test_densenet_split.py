@@ -12,6 +12,8 @@ import pytest
 
 from bts_tpu.models.encoders.densenet import DenseNetEncoder
 
+pytestmark = pytest.mark.slow  # multi-minute: full-model builds / oracles / e2e
+
 
 def _tiny(split):
     return DenseNetEncoder(

@@ -14,6 +14,8 @@ from bts_tpu.data.device_augment import (
     rotate_image,
 )
 
+pytestmark = pytest.mark.slow  # multi-minute: full-model builds / oracles / e2e
+
 
 def _params(**kw):
     base = dict(

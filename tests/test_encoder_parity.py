@@ -23,6 +23,8 @@ import torch.nn as nn
 from bts_tpu.models.bts import ENCODERS
 from bts_tpu.models.convert import convert_state_dict
 
+pytestmark = pytest.mark.slow  # multi-minute: full-model builds / oracles / e2e
+
 H, W = 64, 96
 
 

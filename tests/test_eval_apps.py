@@ -11,6 +11,8 @@ from PIL import Image
 from bts_tpu.config import Config
 from bts_tpu.models.bts import create_model, init_model
 
+pytestmark = pytest.mark.slow  # multi-minute: full-model builds / oracles / e2e
+
 H, W = 64, 96  # tiny eval resolution (stride-32 divisible)
 
 

@@ -1,8 +1,11 @@
 """Eval forward must handle resolutions not divisible by the stride (32)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+pytestmark = pytest.mark.slow  # multi-minute: full-model builds / oracles / e2e
 
 from bts_tpu.evaluation.online import make_eval_forward
 from bts_tpu.models.bts import BTSModel, init_model

@@ -32,6 +32,8 @@ def _rand_plane(rng, b, h, w):
         ).astype(np.float32)
     )
 
+pytestmark = pytest.mark.slow  # multi-minute: full-model builds / oracles / e2e
+
 
 @pytest.mark.parametrize("r", [2, 4, 8])
 def test_lpg_s2d_equals_full(rng, r):

@@ -3,6 +3,7 @@ bn_no_track_stats."""
 
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from bts_tpu.config import Config
@@ -83,6 +84,7 @@ def test_depthwise_shift_matches_grouped(rng):
         assert rel < 0.02, (stride, rel)
 
 
+@pytest.mark.slow
 def test_remat_model_matches_plain():
     from bts_tpu.models.bts import BTSModel, init_model
 
@@ -108,6 +110,7 @@ def test_remat_model_matches_plain():
     assert np.isfinite(float(jax.tree.leaves(g)[0].sum()))
 
 
+@pytest.mark.slow
 def test_bn_no_track_stats_train_step(rng):
     """bn_no_track_stats: BN uses running stats during training and the
     stats are not updated (reference bn_init_as_tf, pytorch/bts.py:26-31)."""

@@ -2,6 +2,7 @@
 
 import os
 
+import pytest
 import numpy as np
 from PIL import Image
 
@@ -79,6 +80,7 @@ def test_render_cloud_azimuth_rotates_view():
     assert not np.array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_run_headless_renders_views(tmp_path):
     from bts_tpu.config import Config
 

@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute: full-model builds / oracles / e2e
+
 from bts_tpu.models.bts import BTSModel, ENCODERS, init_model
 from bts_tpu.models.decoder import BTSDecoder, Reduction1x1, UpConv, AtrousConv
 

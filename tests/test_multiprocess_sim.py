@@ -11,6 +11,8 @@ import numpy as np
 import pytest
 from PIL import Image
 
+pytestmark = pytest.mark.slow  # multi-minute: full-model builds / oracles / e2e
+
 import jax
 
 from bts_tpu.config import Config

@@ -20,6 +20,8 @@ from bts_tpu.training.state import (
     make_train_step,
 )
 
+pytestmark = pytest.mark.slow  # multi-minute: full-model builds / oracles / e2e
+
 H, W = 64, 96
 
 
