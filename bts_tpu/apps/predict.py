@@ -33,7 +33,7 @@ def output_name(image_path: str, dataset: str) -> str:
     return "_".join(parts[-2:]) if len(parts) >= 2 else parts[-1]
 
 
-def save_depth_png(path: str, depth: np.ndarray, dataset: str, kb_pad=False):
+def save_depth_png(path: str, depth: np.ndarray, dataset: str):
     """uint16 png at the reference scaling (pytorch/bts_test.py:163-173)."""
     if dataset == "kitti":
         scaled = depth * 256.0
@@ -133,15 +133,22 @@ def run_predictions(
                 Image.fromarray((rgb * 255).astype(np.uint8)).save(
                     os.path.join(out_dir, "rgb", base)
                 )
-                gt = batch.get("depths", [None] * len(batch["weight"]))[i]
-                if gt is not None:
-                    c = colorize(
-                        np.maximum(np.asarray(gt)[10:-10, 10:-10, 0], 1e-6),
-                        cmap="Greys",
-                    )
-                    Image.fromarray(c.transpose(1, 2, 0)).save(
-                        os.path.join(out_dir, "gt", base)
-                    )
+                # NYU gt visualization — the reference loads gt straight
+                # from the manifest even in test mode (visualization only):
+                # /1000, zeros -> max, 10px border crop, log10 + Greys
+                # (pytorch/bts_test.py:169-171,190).
+                if cfg.dataset == "nyu" and entry.gt_path:
+                    gt_file = os.path.join(cfg.data_path, entry.gt_path)
+                    if os.path.exists(gt_file):
+                        gt = (
+                            np.asarray(Image.open(gt_file), dtype=np.float32)
+                            / 1000.0
+                        )
+                        gt[gt == 0] = np.amax(gt)
+                        c = colorize(gt[10:-10, 10:-10], cmap="Greys")
+                        Image.fromarray(c.transpose(1, 2, 0)).save(
+                            os.path.join(out_dir, "gt", base)
+                        )
             n += 1
     elapsed = time.time() - t0
     print(

@@ -7,7 +7,23 @@ from bts_tpu.evaluation.offline import evaluate_pending
 
 
 def main(argv=None) -> int:
+    from bts_tpu.utils.jax_cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
+    argv = list(sys.argv[1:] if argv is None else argv)
     cfg = parse_args(argv)
+
+    # Evaluate checkpoints with the archived code that produced them
+    # (reference dynamic-import pattern, pytorch/bts_eval.py:72-78).
+    from bts_tpu.training.snapshot import activate_snapshot, find_run_dir
+
+    run_dir = find_run_dir(cfg)
+    if run_dir and activate_snapshot(run_dir):
+        import importlib
+
+        print(f"Using model snapshot from {run_dir}")
+        return importlib.import_module("bts_tpu.cli.eval").main(argv)
+
     writer = None
     try:
         from tensorboardX import SummaryWriter

@@ -7,6 +7,9 @@ from bts_tpu.evaluation.schedule import run_schedule
 
 
 def main(argv=None) -> int:
+    from bts_tpu.utils.jax_cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     cfg = parse_args(argv)
     run_schedule(cfg)
     return 0

@@ -10,6 +10,9 @@ from bts_tpu.config import parse_args
 
 
 def main(argv=None) -> int:
+    from bts_tpu.utils.jax_cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     argv = list(sys.argv[1:] if argv is None else argv)
     image_dir = None
     if "--image_dir" in argv:

@@ -104,6 +104,10 @@ class Config:
     compute_dtype: str = "float32"
     # Batched evaluation/inference (reference is batch-1).
     eval_batch_size: int = 1
+    # On-device batched metrics for online eval (predictions never leave
+    # the device; only a 10-float accumulator is read back). --no-device_eval
+    # falls back to the per-sample numpy protocol path.
+    device_eval: bool = True
     # RNG seed for init + data augmentation.
     seed: int = 42
     # LPG kernel implementation: auto | xla | pallas | ffi

@@ -1,0 +1,128 @@
+"""On-device batched eval metrics.
+
+TPU-native replacement for the reference's per-sample host metric loop +
+dist.all_reduce (pytorch/bts_main.py:250-319): the model's predictions stay
+on device, ground truth is uploaded once per batch as raw uint16 (half the
+tunnel traffic of downloading f32 predictions), and masking, clamping and
+the nine metrics all run in one jitted program whose only readback is a
+10-float accumulator. The metric sums are psum-able across a mesh.
+
+Semantics pinned to evaluation/protocol.py (the numpy reference path, kept
+as the cross-check in tests):
+  * clamp: inf -> max_depth_eval, nan -> min_depth_eval, clip to range
+    (pytorch/bts_main.py:275-278);
+  * validity: gt in (min, max) intersected with garg/eigen crops
+    (pytorch/bts_main.py:280-295);
+  * per-image metric means, summed over images with any valid pixel.
+
+Online eval always sees pred.shape == gt.shape (the loader kb-crops gt the
+same way it crops the image, pytorch/bts_dataloader.py:174-175), so no
+re-embed is needed here — the kb re-embed only exists in the offline
+PNG-vs-PNG path, which stays numpy.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bts_tpu.evaluation.metrics import compute_errors_masked
+
+
+def pack_gt_batch(depths, weights, dataset: str):
+    """List of HW1 float-meter gt (or None) -> (B,H,W) uint16 raw batch.
+
+    Depth values are k/1000 (NYU) or k/256 (KITTI) in f32, so the
+    round-trip back to uint16 is exact — the device sees bit-identical
+    meters after its own division. Samples with missing gt or weight 0
+    become all-zero (invalid everywhere). Returns (raw, effective_weights).
+    """
+    scale = 1000.0 if dataset == "nyu" else 256.0
+    arrs, eff = [], []
+    shape = None
+    for d, w in zip(depths, weights):
+        if d is not None and w > 0:
+            shape = d.shape[:2]
+            break
+    if shape is None:
+        return None, None
+    for d, w in zip(depths, weights):
+        if d is None or w == 0 or d.shape[:2] != shape:
+            arrs.append(np.zeros(shape, np.uint16))
+            eff.append(0.0)
+        else:
+            arrs.append(
+                np.round(d[..., 0] * scale).astype(np.uint16)
+            )
+            eff.append(1.0)
+    return np.stack(arrs), np.asarray(eff, np.float32)
+
+
+def make_batch_metrics(cfg):
+    """Jitted (preds, gt_raw, weights) -> (metric_sums (9,), count ()).
+
+    One compile per batch shape. preds may be a device array (no host
+    round-trip); the readback is the 10-float accumulator only.
+    """
+    min_d = float(cfg.min_depth_eval)
+    max_d = float(cfg.max_depth_eval)
+    scale = 1000.0 if cfg.dataset == "nyu" else 256.0
+    dataset = cfg.dataset
+    garg_crop = bool(cfg.garg_crop)
+    eigen_crop = bool(cfg.eigen_crop)
+
+    def crop_mask(h: int, w: int):
+        """Static crop rectangle (pytorch/bts_main.py:282-295)."""
+        m = np.zeros((h, w), bool)
+        if garg_crop:
+            m[
+                int(0.40810811 * h) : int(0.99189189 * h),
+                int(0.03594771 * w) : int(0.96405229 * w),
+            ] = True
+        elif eigen_crop:
+            if dataset == "kitti":
+                m[
+                    int(0.3324324 * h) : int(0.91351351 * h),
+                    int(0.0359477 * w) : int(0.96405229 * w),
+                ] = True
+            else:
+                m[45:471, 41:601] = True
+        else:
+            m[:] = True
+        return m
+
+    @jax.jit
+    def batch_metrics(preds, gt_raw, weights):
+        gt = gt_raw.astype(jnp.float32) / scale
+        h, w = gt.shape[1:3]
+        valid = (gt > min_d) & (gt < max_d)
+        valid &= jnp.asarray(crop_mask(h, w))[None]
+        valid &= (weights > 0)[:, None, None]
+
+        pred = preds.astype(jnp.float32)
+        pred = jnp.where(jnp.isinf(pred), max_d, pred)
+        pred = jnp.where(jnp.isnan(pred), min_d, pred)
+        pred = jnp.clip(pred, min_d, max_d)
+
+        metrics, has_valid = compute_errors_masked(gt, pred, valid)
+        return metrics.sum(axis=0), has_valid.sum()
+
+    return batch_metrics
+
+
+def run_batch(
+    batch_metrics,
+    preds,
+    batch: dict,
+    dataset: str,
+) -> Optional[tuple]:
+    """One eval batch through the device path. Returns (sums9, count) as
+    host numpy, or None when the whole batch lacks usable gt."""
+    gt_raw, eff = pack_gt_batch(batch["depths"], batch["weight"], dataset)
+    if gt_raw is None:
+        return None
+    sums, count = batch_metrics(preds, gt_raw, eff)
+    return np.asarray(sums, np.float64), float(count)

@@ -76,12 +76,27 @@ def run_online_eval(
     if forward is None:
         forward = make_eval_forward(model)
 
+    use_device = bool(getattr(cfg, "device_eval", False))
+    if use_device:
+        from bts_tpu.evaluation.device_eval import make_batch_metrics, run_batch
+
+        batch_metrics = make_batch_metrics(cfg)
+
     sums = np.zeros(9, dtype=np.float64)
     count = 0
     for batch in loader.batches():
-        preds = np.asarray(
-            forward(variables, batch["image"], batch["focal"])
-        )
+        preds = forward(variables, batch["image"], batch["focal"])
+        if use_device:
+            # Batched on-device metrics: predictions stay on device, the
+            # readback is a 10-float accumulator (TPU-native replacement
+            # for the host loop + dist.all_reduce,
+            # pytorch/bts_main.py:250-319).
+            out = run_batch(batch_metrics, preds, batch, cfg.dataset)
+            if out is not None:
+                sums += out[0]
+                count += int(round(out[1]))
+            continue
+        preds = np.asarray(preds)
         for i, w in enumerate(batch["weight"]):
             if w == 0:
                 continue

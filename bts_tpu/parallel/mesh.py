@@ -67,23 +67,79 @@ def process_shard_info() -> tuple[int, int]:
     return jax.process_count(), jax.process_index()
 
 
-def maybe_init_distributed() -> None:
+def _multihost_env_reason(environ) -> str | None:
+    """Pure decision logic: does this environment look multi-host?
+
+    Decision table (first match wins; all read from `environ` only, so the
+    check never touches — and therefore never initializes — the backend):
+
+    | Signal                                        | Verdict    |
+    |-----------------------------------------------|------------|
+    | COORDINATOR_ADDRESS / MEGASCALE_COORDINATOR_* | initialize |
+    | TPU_WORKER_HOSTNAMES lists >1 host (GKE pod)  | initialize |
+    | TPU_PROCESS_ADDRESSES lists >1 process        | initialize |
+    | CLOUD_TPU_TASK_ID set (Cloud TPU pod worker)  | initialize |
+    | SLURM_JOB_NUM_NODES > 1                       | initialize |
+    | OMPI_COMM_WORLD_SIZE > 1                      | initialize |
+    | none of the above                             | single     |
+
+    Returns the matching signal name, or None for single-host.
+    jax.distributed.initialize() self-configures from each of these
+    launcher environments via its cluster auto-detection.
+    """
+    if environ.get("COORDINATOR_ADDRESS") or environ.get(
+        "MEGASCALE_COORDINATOR_ADDRESS"
+    ):
+        return "coordinator_address"
+    if len(environ.get("TPU_WORKER_HOSTNAMES", "").split(",")) > 1:
+        return "tpu_worker_hostnames"
+    if len(environ.get("TPU_PROCESS_ADDRESSES", "").split(",")) > 1:
+        return "tpu_process_addresses"
+    if environ.get("CLOUD_TPU_TASK_ID"):
+        return "cloud_tpu_task_id"
+    for k in ("SLURM_JOB_NUM_NODES", "OMPI_COMM_WORLD_SIZE"):
+        try:
+            if int(environ.get(k, "1")) > 1:
+                return k.lower()
+        except ValueError:
+            pass
+    return None
+
+
+def maybe_init_distributed(environ=None, initialize_fn=None) -> bool:
     """Initialize multi-host JAX when launched under a cluster environment.
 
     The reference boots NCCL process groups from --dist_url/--rank
     (pytorch/bts_main.py:328-333); the TPU-native equivalent is
-    jax.distributed.initialize(), which self-configures from the TPU pod /
-    cluster environment. No-op when single-host or already initialized.
+    jax.distributed.initialize(). The decision is made purely from the
+    environment (see _multihost_env_reason) BEFORE any backend-touching
+    call — querying jax.process_count() first would initialize the local
+    backend and make a later initialize() ineffective. No-op when
+    single-host or already initialized. Returns True if initialize ran.
+
+    environ / initialize_fn are injectable for unit tests.
     """
     import os
 
-    if jax.process_count() > 1:
-        return  # already initialized
-    if any(
-        k in os.environ
-        for k in ("COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS")
-    ):
-        try:
-            jax.distributed.initialize()
-        except Exception as e:  # pragma: no cover
-            print(f"jax.distributed.initialize failed: {e}")
+    environ = os.environ if environ is None else environ
+    if initialize_fn is None:
+        initialize_fn = jax.distributed.initialize
+    try:
+        already = jax.distributed.is_initialized()
+    except AttributeError:  # older jax
+        already = getattr(
+            jax._src.distributed.global_state, "client", None
+        ) is not None
+    if already:
+        return False
+    reason = _multihost_env_reason(environ)
+    if reason is None:
+        return False
+    try:
+        initialize_fn()
+        return True
+    except Exception as e:  # pragma: no cover - depends on cluster env
+        print(
+            f"jax.distributed.initialize failed (detected via {reason}): {e}"
+        )
+        return False

@@ -124,10 +124,17 @@ class TrainLogger:
             self.eval_writer.close()
 
 
-def param_sum_avg(params) -> float:
+@jax.jit
+def _param_sum_avg_device(params):
     leaves = jax.tree.leaves(params)
-    total = sum(float(jnp.sum(p)) for p in leaves)
+    total = sum(jnp.sum(p.astype(jnp.float32)) for p in leaves)
     return total / max(len(leaves), 1)
+
+
+def param_sum_avg(params) -> float:
+    # One fused device reduction + a single scalar readback (a per-leaf
+    # float() loop costs ~700 tiny D2H syncs over the ~30ms-latency tunnel).
+    return float(_param_sum_avg_device(params))
 
 
 def train(cfg: Config, max_steps: Optional[int] = None) -> int:
@@ -322,18 +329,27 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> int:
                 "metrics": metrics,
                 "log": will_log,
                 # Keep the batch alive only when panels will be rendered.
+                # Panels render with the CURRENT params when processed, so
+                # with pipeline depth 3 a panel can be up to 3 optimizer
+                # steps newer than its labeled step — acceptable skew.
                 "device_batch": device_batch if will_log else None,
                 "duration": 0.0,
             }
 
+            pending.append(this_step)
+            pipeline_ok = len(pending) <= pipeline_depth or process_pending(
+                pending.popleft()
+            )
+            # Accumulate wall time AFTER the delayed readback so the logged
+            # examples/s reflects real throughput, not dispatch-only time
+            # (the blocking float(loss) wait is the device-bound majority of
+            # per-step time in the pipelined loop). this_step is safe to
+            # mutate post-append: with depth>=1 it pops on a later iteration.
             duration += time.time() - t0
             if will_log:
                 this_step["duration"] = duration
                 duration = 0.0
-            pending.append(this_step)
-            if len(pending) > pipeline_depth and not process_pending(
-                pending.popleft()
-            ):
+            if not pipeline_ok:
                 return finish(-1)
 
             will_save = (

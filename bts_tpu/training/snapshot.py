@@ -52,3 +52,51 @@ def use_snapshot(run_dir: str) -> None:
     """Prefer the archived package for subsequent imports."""
     if os.path.isdir(os.path.join(run_dir, "bts_tpu")):
         sys.path.insert(0, run_dir)
+
+
+def find_run_dir(cfg) -> str | None:
+    """Locate the run directory holding a package snapshot for this config.
+
+    Checks (in order): checkpoint_path itself, its parent (checkpoint dirs
+    live inside the run dir), and log_directory/model_name.
+    """
+    candidates = []
+    if cfg.checkpoint_path:
+        cp = cfg.checkpoint_path.rstrip("/")
+        candidates += [cp, os.path.dirname(cp)]
+    if cfg.log_directory and cfg.model_name:
+        candidates.append(os.path.join(cfg.log_directory, cfg.model_name))
+    for c in candidates:
+        if c and os.path.isdir(os.path.join(c, "bts_tpu")):
+            return c
+    return None
+
+
+def activate_snapshot(run_dir: str) -> bool:
+    """Switch subsequent `bts_tpu` imports to the archived package.
+
+    The reference's dynamic-import-of-snapshot pattern
+    (pytorch/bts_test.py:68-74, bts_eval.py:72-78, bts_main.py:125-133):
+    a checkpoint is always evaluated with the exact code that produced it.
+    Returns True if the import root was switched (caller should then
+    re-import and re-dispatch); False when there is no snapshot or we are
+    already running from this snapshot.
+    """
+    if not os.path.isdir(os.path.join(run_dir, "bts_tpu")):
+        return False
+    import importlib
+
+    import bts_tpu
+
+    live_root = os.path.dirname(
+        os.path.dirname(os.path.abspath(bts_tpu.__file__))
+    )
+    if os.path.realpath(live_root) == os.path.realpath(run_dir):
+        return False  # already running from this snapshot
+    sys.path.insert(0, run_dir)
+    for name in [
+        m for m in sys.modules if m == "bts_tpu" or m.startswith("bts_tpu.")
+    ]:
+        del sys.modules[name]
+    importlib.invalidate_caches()
+    return True

@@ -27,11 +27,18 @@ class TrainState:
 
 
 def create_train_state(params, batch_stats, tx) -> TrainState:
+    # tx.init runs under one jit: eagerly it dispatches ~2 tiny ops per
+    # param leaf (~1400 executions for a 350-leaf tree), which serialize
+    # over the axon tunnel's ~30ms round-trip into minutes of dead time
+    # before step 0. One compiled program initializes everything at once.
+    opt_state, step = jax.jit(
+        lambda p: (tx.init(p), jnp.zeros((), jnp.int32))
+    )(params)
     return TrainState(
-        step=jnp.zeros((), jnp.int32),
+        step=step,
         params=params,
         batch_stats=batch_stats,
-        opt_state=tx.init(params),
+        opt_state=opt_state,
     )
 
 

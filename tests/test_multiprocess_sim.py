@@ -127,3 +127,66 @@ def test_online_eval_simulated_3process_equals_single(eval_setup):
     )
     # float32 collective payload (matches device collectives) -> small tol.
     np.testing.assert_allclose(combined, single, rtol=2e-5)
+
+
+def test_multihost_env_decision_table():
+    """maybe_init_distributed decides purely from the environment
+    (VERDICT r2 #7): no backend call before initialize, documented table."""
+    from bts_tpu.parallel.mesh import (
+        _multihost_env_reason,
+        maybe_init_distributed,
+    )
+
+    assert _multihost_env_reason({}) is None
+    assert (
+        _multihost_env_reason({"COORDINATOR_ADDRESS": "h:1234"})
+        == "coordinator_address"
+    )
+    assert (
+        _multihost_env_reason({"MEGASCALE_COORDINATOR_ADDRESS": "h:1"})
+        == "coordinator_address"
+    )
+    # GKE TPU pod: >1 hostname means multi-host; a single name does not.
+    assert (
+        _multihost_env_reason({"TPU_WORKER_HOSTNAMES": "a,b,c"})
+        == "tpu_worker_hostnames"
+    )
+    assert _multihost_env_reason({"TPU_WORKER_HOSTNAMES": "solo"}) is None
+    assert (
+        _multihost_env_reason({"TPU_PROCESS_ADDRESSES": "a:1,b:1"})
+        == "tpu_process_addresses"
+    )
+    assert (
+        _multihost_env_reason({"CLOUD_TPU_TASK_ID": "0"})
+        == "cloud_tpu_task_id"
+    )
+    assert (
+        _multihost_env_reason({"SLURM_JOB_NUM_NODES": "4"})
+        == "slurm_job_num_nodes"
+    )
+    assert _multihost_env_reason({"SLURM_JOB_NUM_NODES": "1"}) is None
+    assert (
+        _multihost_env_reason({"OMPI_COMM_WORLD_SIZE": "2"})
+        == "ompi_comm_world_size"
+    )
+    assert _multihost_env_reason({"SLURM_JOB_NUM_NODES": "weird"}) is None
+
+    # Injectable initialize: called exactly when the table says so.
+    calls = []
+    assert not maybe_init_distributed(
+        {}, initialize_fn=lambda: calls.append(1)
+    )
+    assert calls == []
+
+    assert maybe_init_distributed(
+        {"COORDINATOR_ADDRESS": "h:1"}, initialize_fn=lambda: calls.append(1)
+    )
+    assert calls == [1]
+
+    # An initialize failure degrades to single-host, not a crash.
+    def boom():
+        raise RuntimeError("no coordinator")
+
+    assert not maybe_init_distributed(
+        {"TPU_WORKER_HOSTNAMES": "a,b"}, initialize_fn=boom
+    )
