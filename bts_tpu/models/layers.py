@@ -66,6 +66,7 @@ class Conv(nn.Module):
             and cg == 1
             and self.features == self.groups
             and self.dilation == 1
+            and not self.use_bias
             and jnp.dtype(self.dtype) == jnp.bfloat16
         ):
             # Depthwise convs (MobileNetV2): XLA:TPU's grouped lowering is
@@ -85,6 +86,7 @@ class Conv(nn.Module):
         if (
             self.groups > 1
             and cg >= 4
+            and not self.use_bias
             and jnp.dtype(self.dtype) == jnp.bfloat16
         ):
             # ResNeXt-style grouped convs (32 groups x 4-64 channels) waste
@@ -121,7 +123,18 @@ class Conv(nn.Module):
 
 
 class _BlockDiagGroupedConv(nn.Module):
-    """Grouped conv computed as a dense conv with a block-diagonal kernel.
+    """Grouped conv as dense conv(s) with block-diagonal kernels.
+
+    The MXU contracts 128 lanes regardless of the conv's channel count, so
+    a G-group conv with tiny per-group widths wastes the array; embedding
+    the grouped kernel block-diagonally into a dense conv trades (mostly
+    zero) FLOPs for full-lane tiling. Fully dense costs G x the useful
+    FLOPs; instead groups are packed into ~128-output-lane BLOCKS — p
+    groups per block with p*og ~= 128 — and each block runs as its own
+    dense conv on its input channel slice (slices land on lane-tile
+    boundaries, so they are layout-free). Redundancy drops from G x to
+    p x = ~128/og x: e.g. ResNeXt101-32x8d layer4 (og=64) runs 16 block
+    convs at 2x redundancy instead of one dense conv at 32x.
 
     Param path/shape matches nn.Conv's grouped layout ('kernel',
     (kh, kw, C/g, O)) exactly.
@@ -147,21 +160,30 @@ class _BlockDiagGroupedConv(nn.Module):
             jnp.float32,
         ).astype(self.dtype)
         og = self.features // self.groups
-        dense = jnp.zeros(
-            (kh, kw, cg * self.groups, self.features), self.dtype
-        )
-        for g in range(self.groups):
-            dense = dense.at[
-                :, :, g * cg : (g + 1) * cg, g * og : (g + 1) * og
-            ].set(kernel[:, :, :, g * og : (g + 1) * og])
-        return jax.lax.conv_general_dilated(
-            x.astype(self.dtype),
-            dense,
-            window_strides=self.strides,
-            padding=_pad(self.padding),
-            rhs_dilation=(self.dilation, self.dilation),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        # p groups per block, sized to fill the 128-wide output lane tile.
+        p = max(1, min(self.groups, -(-128 // og)))
+        n_blocks = -(-self.groups // p)
+        x = x.astype(self.dtype)
+        outs = []
+        for b in range(n_blocks):
+            g0, g1 = b * p, min((b + 1) * p, self.groups)
+            pb = g1 - g0
+            dense = jnp.zeros((kh, kw, cg * pb, og * pb), self.dtype)
+            for j in range(pb):
+                dense = dense.at[
+                    :, :, j * cg : (j + 1) * cg, j * og : (j + 1) * og
+                ].set(kernel[:, :, :, (g0 + j) * og : (g0 + j + 1) * og])
+            outs.append(
+                jax.lax.conv_general_dilated(
+                    x[..., g0 * cg : g1 * cg],
+                    dense,
+                    window_strides=self.strides,
+                    padding=_pad(self.padding),
+                    rhs_dilation=(self.dilation, self.dilation),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+            )
+        return outs[0] if n_blocks == 1 else jnp.concatenate(outs, axis=-1)
 
 
 class _ShiftDepthwiseConv(nn.Module):

@@ -58,6 +58,32 @@ def test_blockdiag_grouped_conv_matches_grouped(rng):
     assert rel < 0.01, rel
 
 
+def test_blockdiag_grouped_conv_multiblock(rng):
+    """ResNeXt101-style wide grouped convs pack p=128/og groups per block
+    and run several block convs (here og=16 -> p=8 -> 4 blocks); the math
+    must still match the plain grouped conv, same param tree."""
+    x = rng.normal(size=(2, 6, 8, 256)).astype(np.float32) * 0.1
+    m_bf = Conv(512, (3, 3), padding=1, groups=32, dtype=jnp.bfloat16)
+    m_f32 = Conv(512, (3, 3), padding=1, groups=32, dtype=jnp.float32)
+    variables = m_bf.init(jax.random.key(0), jnp.asarray(x))
+    assert variables["params"]["conv"]["kernel"].shape == (3, 3, 8, 512)
+    got = np.asarray(m_bf.apply(variables, jnp.asarray(x))).astype(np.float32)
+    want = np.asarray(m_f32.apply(variables, jnp.asarray(x)))
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < 0.01, rel
+    # Stride-2 (ResNeXt downsample blocks).
+    m_bf2 = Conv(
+        512, (3, 3), strides=(2, 2), padding=1, groups=32, dtype=jnp.bfloat16
+    )
+    m_f322 = Conv(
+        512, (3, 3), strides=(2, 2), padding=1, groups=32, dtype=jnp.float32
+    )
+    got = np.asarray(m_bf2.apply(variables, jnp.asarray(x))).astype(np.float32)
+    want = np.asarray(m_f322.apply(variables, jnp.asarray(x)))
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < 0.01, rel
+
+
 def test_depthwise_shift_matches_grouped(rng):
     """bf16 depthwise convs run as kh*kw shifted elementwise FMAs (the
     grouped XLA:TPU lowering is the known-slow path); must match the f32
