@@ -269,7 +269,13 @@ def run_headless(
 
 
 def main(cfg: Config) -> int:  # pragma: no cover - requires GUI stack
-    """Launch the interactive viewer (requires cv2 + Qt + OpenGL)."""
+    """Launch the interactive viewer.
+
+    Prefers the GL point-cloud viewer (reference
+    pytorch/bts_live_3d.py:383-484; needs cv2 + Qt + PyOpenGL); falls back
+    to a cv2 depth-colormap loop when only cv2 is present; headless-only
+    installs get a pointer to run_headless.
+    """
     try:
         import cv2  # noqa: F401
     except ImportError:
@@ -279,6 +285,12 @@ def main(cfg: Config) -> int:  # pragma: no cover - requires GUI stack
             "headless."
         )
         return 1
+    try:
+        from bts_tpu.apps.live3d_gl import run_gl
+
+        return run_gl(cfg)
+    except ImportError:
+        print("Qt/PyOpenGL not installed; showing 2D depth colormap instead.")
     depth_fn = make_depth_fn(cfg)
     # Reference demo undistorts the webcam to NYU intrinsics
     # (pytorch/bts_live_3d.py:76-94); supply your camera's calibration here.

@@ -130,6 +130,11 @@ def main() -> None:
         jax.profiler.stop_trace()
         print(f"trace -> {args.profile_dir}")
 
+    # Regression reference: round-2 measured 106 ex/s at the default
+    # config (densenet161 416x544 b16, delay-3 pipelined readback) on one
+    # v5e chip. The reference project publishes no training throughput, so
+    # the previous round's own number is the baseline.
+    R02_BASELINE_EX_PER_SEC = 106.0
     ex_per_sec = args.batch * args.steps / elapsed
     print(
         json.dumps(
@@ -137,6 +142,7 @@ def main() -> None:
                 "metric": f"train_step_{args.encoder}_{args.height}x{args.width}_b{args.batch}",
                 "value": round(ex_per_sec, 2),
                 "unit": "examples/s",
+                "vs_baseline": round(ex_per_sec / R02_BASELINE_EX_PER_SEC, 2),
                 "ms_per_step": round(elapsed / args.steps * 1000, 2),
                 "device_augment": device_augment,
             }
