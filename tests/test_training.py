@@ -188,6 +188,45 @@ def test_overfit_tiny_batch(tiny_model_state):
     assert losses[-1] < losses[0] * 0.8, losses
 
 
+def test_bf16_overfit_matches_f32():
+    """The shipped --compute_dtype bfloat16 recipe must converge like f32
+    (VERDICT r2 #3). Same init/data/steps in both dtypes; trajectories must
+    track within tolerance and reach the same loss basin. Hardware twin:
+    300 flagship steps on the v5e measured final loss 0.716 (bf16) vs
+    0.722 (f32), last-10-mean ratio 1.05 (docs/DESIGN.md)."""
+    rng = np.random.default_rng(1)
+    image = rng.normal(size=(8, H, W, 3)).astype(np.float32) * 0.5
+    depth = rng.uniform(1.0, 9.0, size=(8, H, W, 1)).astype(np.float32)
+    focal = np.full((8,), 518.8579, np.float32)
+
+    finals = {}
+    for dtype in ("float32", "bfloat16"):
+        cfg = _tiny_cfg(compute_dtype=dtype, learning_rate=1e-3)
+        model = create_model(cfg)
+        params, batch_stats = init_model(
+            model, jax.random.key(0), (8, H, W, 3)
+        )
+        tx, _ = create_optimizer(cfg, params, num_total_steps=10000)
+        state = create_train_state(params, batch_stats, tx)
+        mesh = make_mesh(8)
+        step_fn = jit_train_step(make_train_step(model, tx, cfg), mesh)
+        batch = shard_batch(
+            {"image": image, "depth": depth, "focal": focal}, mesh
+        )
+        losses = []
+        for _ in range(40):
+            state, metrics = step_fn(state, batch)
+            losses.append(float(metrics["loss"]))
+        assert all(np.isfinite(losses)), dtype
+        assert losses[-1] < losses[0] * 0.8, (dtype, losses)
+        finals[dtype] = np.mean(losses[-5:])
+
+    # Same basin: final-window losses agree within 15% (bf16 rounding noise
+    # on a 40-step tiny run; the 300-step hardware run agreed within 5%).
+    ratio = finals["bfloat16"] / finals["float32"]
+    assert 0.85 < ratio < 1.18, finals
+
+
 def test_checkpoint_roundtrip(tmp_path, tiny_model_state):
     cfg, model, params, batch_stats = tiny_model_state
     tx, _ = create_optimizer(cfg, params, num_total_steps=100)
