@@ -50,7 +50,15 @@ _CHUNK = 4
 # high-res blocks (per-part 1x1 convs underutilize the MXU contraction at
 # K=48..192 while the removed concats were cheap relative). Blocks below
 # this layer count keep the plain concat path.
+#
+# The threshold is BATCH-dependent: at batch >= 128 XLA switches to
+# batch-minor layouts (B fills the 128-lane tile exactly), narrow per-part
+# convs stop wasting lanes, and splitting block2 (12 layers) measures
+# +8% end-to-end (394 vs 363 img/s, DenseNet161 480x640 b128); at b64 the
+# same split measured -2%. Splitting the 6-layer block1 loses at every
+# batch size.
 _SPLIT_MIN_LAYERS = 16
+_SPLIT_MIN_LAYERS_B128 = 12
 
 
 class DenseLayer(nn.Module):
@@ -182,6 +190,9 @@ class DenseNetEncoder(nn.Module):
             and not train
         )
         forced = self.split is True
+        min_layers = (
+            _SPLIT_MIN_LAYERS_B128 if x.shape[0] >= 128 else _SPLIT_MIN_LAYERS
+        )
         skips = []
         x = Conv(
             self.num_init_features,
@@ -203,7 +214,7 @@ class DenseNetEncoder(nn.Module):
                 num_layers,
                 self.growth_rate,
                 dtype=self.dtype,
-                split=forced or (auto and num_layers >= _SPLIT_MIN_LAYERS),
+                split=forced or (auto and num_layers >= min_layers),
                 name=f"denseblock{i + 1}",
             )(x, train=train)
             num_features += num_layers * self.growth_rate

@@ -34,6 +34,12 @@ def main() -> None:
     ap.add_argument("--dataset", default="nyu")
     ap.add_argument("--iters", type=int, default=24)
     ap.add_argument("--delay", type=int, default=4)
+    ap.add_argument(
+        "--profile_dir",
+        default=None,
+        help="capture a jax.profiler trace of the timed iterations "
+        "(analyze with scripts/profile_ops.py)",
+    )
     args = ap.parse_args()
 
     if jax.default_backend() == "tpu":
@@ -68,6 +74,8 @@ def main() -> None:
 
         float(forward(variables, images[0], focal))
         float(forward(variables, images[1], focal))
+        if args.profile_dir:
+            jax.profiler.start_trace(args.profile_dir)
         outs = []
         t0 = time.perf_counter()
         for i in range(args.iters):
@@ -77,6 +85,9 @@ def main() -> None:
         for o in outs[args.iters - args.delay :]:
             float(o)
         elapsed = time.perf_counter() - t0
+        if args.profile_dir:
+            jax.profiler.stop_trace()
+            print(f"trace -> {args.profile_dir}")
         print(
             json.dumps(
                 {
