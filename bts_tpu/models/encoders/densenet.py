@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from typing import Any, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -107,11 +108,35 @@ class DenseBlock(nn.Module):
     growth_rate: int
     dtype: Dtype = jnp.float32
     split: bool = False
+    # 'buffer': carry the growing concatenation as ONE preallocated
+    # (B, H, W, C_final) buffer — each layer reads the channel prefix and
+    # dynamic-update-slices its growth_rate output in place. Identical
+    # math to the concat chain (pure data movement), but XLA's buffer
+    # assignment aliases the dus instead of rewriting a fresh growing
+    # buffer per layer, cutting the block's concat traffic.
+    buffer: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         """Returns the block output as a tensor (split=False) or as the
         parts list of the virtual concatenation (split=True)."""
+        if self.buffer and not self.split:
+            c0 = x.shape[-1]
+            grow = self.num_layers * self.growth_rate
+            buf = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, grow)))
+            c_now = c0
+            for i in range(self.num_layers):
+                prefix = jax.lax.slice_in_dim(buf, 0, c_now, axis=3)
+                new = DenseLayer(
+                    self.growth_rate,
+                    dtype=self.dtype,
+                    name=f"denselayer{i + 1}",
+                )([prefix], train=train)
+                buf = jax.lax.dynamic_update_slice(
+                    buf, new.astype(buf.dtype), (0, 0, 0, c_now)
+                )
+                c_now += self.growth_rate
+            return buf
         parts = [x]
         tail = 0
         for i in range(self.num_layers):
@@ -210,11 +235,15 @@ class DenseNetEncoder(nn.Module):
 
         num_features = self.num_init_features
         for i, num_layers in enumerate(self.block_config):
+            do_split = forced or (auto and num_layers >= min_layers)
             x = DenseBlock(
                 num_layers,
                 self.growth_rate,
                 dtype=self.dtype,
-                split=forced or (auto and num_layers >= min_layers),
+                split=do_split,
+                # Shallow blocks (where split loses) still drop the
+                # growing-concat rewrites via the in-place dus buffer.
+                buffer=auto and not do_split,
                 name=f"denseblock{i + 1}",
             )(x, train=train)
             num_features += num_layers * self.growth_rate

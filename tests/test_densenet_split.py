@@ -107,3 +107,20 @@ def test_split_gradients_flow(setup):
             atol=5e-4,
             err_msg=str(path),
         )
+
+
+def test_buffer_mode_matches_concat(setup):
+    """In-place dus-buffer block (bf16-eval layout mode) == concat chain."""
+    from bts_tpu.models.encoders.densenet import DenseBlock
+
+    x, plain, splitm, variables = setup
+    rng = np.random.default_rng(7)
+    xb = jnp.asarray(rng.normal(size=(2, 8, 12, 16)).astype(np.float32))
+    block = DenseBlock(3, 8, dtype=jnp.float32)
+    bufblock = DenseBlock(3, 8, dtype=jnp.float32, buffer=True)
+    v = block.init(jax.random.key(1), xb, train=False)
+    out_c = block.apply(v, xb, train=False)
+    out_b = bufblock.apply(v, xb, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out_c), np.asarray(out_b), rtol=1e-6, atol=1e-6
+    )
