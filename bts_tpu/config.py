@@ -119,6 +119,11 @@ class Config:
     device_augment: bool = False
     # Use jax.checkpoint (remat) on the encoder to trade FLOPs for HBM.
     remat: bool = False
+    # Dispatch checkpoint saves to a background thread (orbax async): the
+    # step loop continues while device->host reads and file writes run.
+    # Costs transient HBM (the saved state stays referenced until the
+    # write commits). The torch analogue blocks on torch.save.
+    async_checkpoint: bool = False
     # Capture a jax.profiler trace of training steps [10, 10+profile_steps).
     profile_steps: int = 0
     profile_dir: str = "/tmp/bts_tpu_trace"

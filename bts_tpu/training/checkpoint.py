@@ -86,11 +86,55 @@ def _ckpt_payload(state, best: Optional[BestTracker]) -> Dict[str, Any]:
     return payload
 
 
+_async_ckptr: Optional["ocp.AsyncCheckpointer"] = None
+
+
+def _get_async_checkpointer():
+    global _async_ckptr
+    if _async_ckptr is None:
+        _async_ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _async_ckptr
+
+
+def wait_for_async_saves() -> None:
+    """Block until any in-flight async checkpoint save has committed."""
+    if _async_ckptr is not None:
+        _async_ckptr.wait_until_finished()
+
+
 def save_checkpoint(
-    path: str, state, best: Optional[BestTracker] = None
+    path: str,
+    state,
+    best: Optional[BestTracker] = None,
+    async_save: bool = False,
 ) -> None:
-    """Save a full training checkpoint to `path` (a directory)."""
+    """Save a full training checkpoint to `path` (a directory).
+
+    async_save=True returns as soon as serialization is dispatched: orbax
+    performs the device->host reads and file writes on a background thread
+    while training continues (the torch analogue blocks the step loop for
+    the whole torch.save, pytorch/bts_main.py:500-503). At most one save
+    is in flight; a new save first waits for the previous one. Call
+    wait_for_async_saves() before reading the checkpoint back or exiting.
+    """
     path = os.path.abspath(path)
+    if async_save:
+        ckptr = _get_async_checkpointer()
+        ckptr.wait_until_finished()
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        # No jax.device_get: hand orbax the device arrays so the D2H
+        # transfer itself happens on the background thread.
+        payload = {
+            "global_step": np.asarray(state.step),
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+        }
+        if best is not None:
+            payload["best"] = best.to_dict()
+        ckptr.save(path, payload)
+        return
     if os.path.exists(path):
         shutil.rmtree(path)
     with ocp.PyTreeCheckpointer() as ckptr:

@@ -295,6 +295,10 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> int:
     def finish(rv: int) -> int:
         if profiling:
             jax.profiler.stop_trace()
+        # Commit any in-flight async checkpoint before returning control
+        # (callers may immediately read the checkpoint back, e.g. tests
+        # and the train->test->eval CLI chain).
+        ckpt_lib.wait_for_async_saves()
         logger.close()
         return rv
 
@@ -377,7 +381,10 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> int:
                 and run_dir
             ):
                 ckpt_lib.save_checkpoint(
-                    os.path.join(run_dir, f"model-{global_step}"), state, best
+                    os.path.join(run_dir, f"model-{global_step}"),
+                    state,
+                    best,
+                    async_save=cfg.async_checkpoint,
                 )
                 ckpt_lib.prune_step_checkpoints(run_dir, cfg.max_to_keep)
 
@@ -407,7 +414,10 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> int:
                             )
                             print(f"New best for {metric}. Saving model: {name}")
                             ckpt_lib.save_checkpoint(
-                                os.path.join(run_dir, name), state, best
+                                os.path.join(run_dir, name),
+                                state,
+                                best,
+                                async_save=cfg.async_checkpoint,
                             )
 
             model_just_loaded = False

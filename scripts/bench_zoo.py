@@ -30,7 +30,9 @@ def main() -> None:
     ap.add_argument("encoders", nargs="*", default=None)
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--width", type=int, default=640)
-    ap.add_argument("--batch", type=int, default=64)
+    # 128 is the layout sweet spot on v5e (batch-minor tiling; see
+    # docs/DESIGN.md "Batch 128: the layout cliff").
+    ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--dataset", default="nyu")
     ap.add_argument("--iters", type=int, default=24)
     ap.add_argument("--delay", type=int, default=4)

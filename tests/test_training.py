@@ -250,6 +250,28 @@ def test_checkpoint_roundtrip(tmp_path, tiny_model_state):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_checkpoint_roundtrip_async(tmp_path, tiny_model_state):
+    """Async (background-thread) save commits the same checkpoint."""
+    cfg, model, params, batch_stats = tiny_model_state
+    tx, _ = create_optimizer(cfg, params, num_total_steps=100)
+    state = create_train_state(params, batch_stats, tx)
+    state = state.replace(step=jnp.asarray(7, jnp.int32))
+    best = ckpt_lib.BestTracker()
+    path = str(tmp_path / "model-7")
+    ckpt_lib.save_checkpoint(path, state, best, async_save=True)
+    ckpt_lib.wait_for_async_saves()
+
+    fresh = create_train_state(params, batch_stats, tx)
+    restored, _ = ckpt_lib.restore_checkpoint(
+        path, fresh, ckpt_lib.BestTracker()
+    )
+    assert int(restored.step) == 7
+    for a, b in zip(
+        jax.tree.leaves(restored.params), jax.tree.leaves(state.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_best_tracker_logic():
     t = ckpt_lib.BestTracker()
     m1 = np.array([12.0, 0.12, 0.05, 0.4, 0.07, 0.15, 0.85, 0.97, 0.99])
