@@ -10,6 +10,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import jax
@@ -20,6 +21,11 @@ REFERENCE_IMG_PER_SEC = 19.2  # tensorflow/README.md:72 (654 imgs / ~34 s)
 
 
 def main() -> None:
+    # Optional: `python bench.py --profile_dir /tmp/trace_inf` wraps the
+    # timed loop in a jax.profiler trace (parse with scripts/profile_ops.py).
+    profile_dir = ""
+    if "--profile_dir" in sys.argv:
+        profile_dir = sys.argv[sys.argv.index("--profile_dir") + 1]
     # Persistent cache only on TPU (XLA:CPU AOT cache entries are not
     # portable on this host and can hang on load).
     if jax.default_backend() == "tpu":
@@ -71,6 +77,8 @@ def main() -> None:
     n_iters = 16
     delay = 3
     outs = []
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
     t0 = time.perf_counter()
     for i in range(n_iters):
         outs.append(forward(variables, images[i % len(images)], focal))
@@ -79,6 +87,9 @@ def main() -> None:
     for o in outs[n_iters - delay :]:
         float(o)
     elapsed = time.perf_counter() - t0
+    if profile_dir:
+        jax.profiler.stop_trace()
+        print(f"trace -> {profile_dir}", file=sys.stderr)
     imgs_per_sec = batch * n_iters / elapsed
     print(
         json.dumps(

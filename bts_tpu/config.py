@@ -119,6 +119,10 @@ class Config:
     device_augment: bool = False
     # Use jax.checkpoint (remat) on the encoder to trade FLOPs for HBM.
     remat: bool = False
+    # Remat policy when --remat is on: 'conv' saves conv outputs and
+    # recomputes the elementwise BN/ReLU chains in the backward; 'full'
+    # recomputes everything.
+    remat_policy: str = "conv"
     # Dispatch checkpoint saves to a background thread (orbax async): the
     # step loop continues while device->host reads and file writes run.
     # Costs transient HBM (the saved state stays referenced until the

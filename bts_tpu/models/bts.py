@@ -45,6 +45,10 @@ class BTSModel(nn.Module):
     lpg_impl: str = "auto"
     dtype: Dtype = jnp.float32
     remat: bool = False
+    # 'conv': save only conv outputs, recompute the elementwise BN/ReLU
+    # chains in the backward (they fuse into the cotangent convs). 'full':
+    # recompute everything (measured slower at the recipe shapes).
+    remat_policy: str = "conv"
     fast_tail: bool = True
 
     @nn.compact
@@ -60,7 +64,12 @@ class BTSModel(nn.Module):
         if self.remat:
             # Rematerialize encoder activations in the backward pass to trade
             # FLOPs for HBM (TPU-native; no reference equivalent).
-            enc_cls = nn.remat(enc_cls, static_argnums=(2,))
+            policy = (
+                jax.checkpoint_policies.save_only_these_names("conv_out")
+                if self.remat_policy == "conv"
+                else None
+            )
+            enc_cls = nn.remat(enc_cls, static_argnums=(2,), policy=policy)
         enc = enc_cls(**kwargs, name="encoder")
         skips = enc(x.astype(self.dtype), train)
         return BTSDecoder(
@@ -84,6 +93,7 @@ def create_model(cfg) -> BTSModel:
         lpg_impl=cfg.lpg_impl,
         dtype=jnp.dtype(cfg.compute_dtype),
         remat=cfg.remat,
+        remat_policy=cfg.remat_policy,
         fast_tail=cfg.fast_tail,
     )
 

@@ -16,6 +16,7 @@ from typing import Any, Tuple, Union
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 Dtype = Any
 
@@ -60,6 +61,13 @@ class Conv(nn.Module):
             if jnp.dtype(self.dtype) == jnp.float32
             else None
         )
+        # Tag conv outputs for the 'conv' remat policy (models/bts.py):
+        # under nn.remat(policy=save_only_these_names('conv_out')) only
+        # these tensors are saved for the backward; the elementwise
+        # BN/ReLU chains between convs are recomputed (they fuse into the
+        # backward's cotangent convs, so the recompute is ~free while the
+        # saved residual traffic halves). A no-op outside remat scopes.
+        tag = lambda y: checkpoint_name(y, "conv_out")
         cg = x.shape[-1] // self.groups
         if (
             self.groups > 1
@@ -75,14 +83,14 @@ class Conv(nn.Module):
             # measured 1.9x end-to-end on MobileNetV2 inference. Identical
             # math (each tap contributes w[dy,dx,c] * x[...]); param stays
             # in nn.Conv's grouped (kh, kw, 1, C) shape.
-            return _ShiftDepthwiseConv(
+            return tag(_ShiftDepthwiseConv(
                 kernel_size=self.kernel_size,
                 strides=self.strides,
                 padding=self.padding,
                 dtype=self.dtype,
                 kernel_init=self.kernel_init,
                 name="conv",
-            )(x)
+            )(x))
         if (
             self.groups > 1
             and cg >= 4
@@ -96,7 +104,7 @@ class Conv(nn.Module):
             # param stays in the grouped (kh,kw,Cg,O) shape so checkpoints
             # and the torch converter are unaffected. Depthwise (Cg<4)
             # stays grouped — there the FLOP blowup would dominate.
-            return _BlockDiagGroupedConv(
+            return tag(_BlockDiagGroupedConv(
                 features=self.features,
                 kernel_size=self.kernel_size,
                 strides=self.strides,
@@ -106,8 +114,8 @@ class Conv(nn.Module):
                 dtype=self.dtype,
                 kernel_init=self.kernel_init,
                 name="conv",
-            )(x)
-        return nn.Conv(
+            )(x))
+        return tag(nn.Conv(
             features=self.features,
             kernel_size=self.kernel_size,
             strides=self.strides,
@@ -119,7 +127,7 @@ class Conv(nn.Module):
             precision=precision,
             kernel_init=self.kernel_init,
             name="conv",
-        )(x)
+        )(x))
 
 
 class _BlockDiagGroupedConv(nn.Module):

@@ -34,6 +34,8 @@ def main() -> None:
     ap.add_argument("--raw_width", type=int, default=640)
     ap.add_argument("--no_device_augment", action="store_true")
     ap.add_argument("--no_fast_tail", action="store_true")
+    ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--remat_policy", default="conv", choices=["conv", "full"])
     ap.add_argument("--profile_dir", default="")
     ap.add_argument(
         "--delay",
@@ -68,6 +70,8 @@ def main() -> None:
         input_width=args.width,
         device_augment=device_augment,
         fast_tail=not args.no_fast_tail,
+        remat=args.remat,
+        remat_policy=args.remat_policy,
     )
     model = create_model(cfg)
     params, batch_stats = init_model(

@@ -111,12 +111,13 @@ def test_depthwise_shift_matches_grouped(rng):
 
 
 @pytest.mark.slow
-def test_remat_model_matches_plain():
+@pytest.mark.parametrize("policy", ["conv", "full"])
+def test_remat_model_matches_plain(policy):
     from bts_tpu.models.bts import BTSModel, init_model
 
     kwargs = dict(encoder_name="mobilenetv2_bts", max_depth=10.0)
     plain = BTSModel(**kwargs, remat=False)
-    remat = BTSModel(**kwargs, remat=True)
+    remat = BTSModel(**kwargs, remat=True, remat_policy=policy)
     params, stats = init_model(plain, jax.random.key(0), (1, 64, 96, 3))
     x = jax.random.normal(jax.random.key(1), (1, 64, 96, 3))
     focal = jnp.array([518.8579])
