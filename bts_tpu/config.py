@@ -123,6 +123,9 @@ class Config:
     # recomputes the elementwise BN/ReLU chains in the backward; 'full'
     # recomputes everything.
     remat_policy: str = "conv"
+    # Remat scope: 'encoder' (skips saved as the boundary) or 'all' (also
+    # remat the decoder — for batches where decoder activations OOM).
+    remat_scope: str = "encoder"
     # Dispatch checkpoint saves to a background thread (orbax async): the
     # step loop continues while device->host reads and file writes run.
     # Costs transient HBM (the saved state stays referenced until the

@@ -49,6 +49,10 @@ class BTSModel(nn.Module):
     # chains in the backward (they fuse into the cotangent convs). 'full':
     # recompute everything (measured slower at the recipe shapes).
     remat_policy: str = "conv"
+    # 'encoder': remat the encoder only (skips stay saved as the boundary).
+    # 'all': also remat the decoder — needed for very large batches where
+    # decoder activations alone exceed HBM.
+    remat_scope: str = "encoder"
     fast_tail: bool = True
 
     @nn.compact
@@ -72,7 +76,12 @@ class BTSModel(nn.Module):
             enc_cls = nn.remat(enc_cls, static_argnums=(2,), policy=policy)
         enc = enc_cls(**kwargs, name="encoder")
         skips = enc(x.astype(self.dtype), train)
-        return BTSDecoder(
+        dec_cls = BTSDecoder
+        if self.remat and self.remat_scope == "all":
+            # The skips stay saved (they are the remat boundary between the
+            # two scopes); everything inside the decoder is recomputed.
+            dec_cls = nn.remat(dec_cls, static_argnums=(3,))
+        return dec_cls(
             max_depth=self.max_depth,
             dataset=self.dataset,
             num_features=self.bts_size,
@@ -80,7 +89,7 @@ class BTSModel(nn.Module):
             dtype=self.dtype,
             fast_tail=self.fast_tail,
             name="decoder",
-        )(skips, focal, train=train)
+        )(skips, focal, train)
 
 
 def create_model(cfg) -> BTSModel:
@@ -94,6 +103,7 @@ def create_model(cfg) -> BTSModel:
         dtype=jnp.dtype(cfg.compute_dtype),
         remat=cfg.remat,
         remat_policy=cfg.remat_policy,
+        remat_scope=getattr(cfg, "remat_scope", "encoder"),
         fast_tail=cfg.fast_tail,
     )
 

@@ -36,6 +36,7 @@ def main() -> None:
     ap.add_argument("--no_fast_tail", action="store_true")
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--remat_policy", default="conv", choices=["conv", "full"])
+    ap.add_argument("--remat_scope", default="encoder", choices=["encoder", "all"])
     ap.add_argument("--profile_dir", default="")
     ap.add_argument(
         "--delay",
@@ -72,6 +73,7 @@ def main() -> None:
         fast_tail=not args.no_fast_tail,
         remat=args.remat,
         remat_policy=args.remat_policy,
+        remat_scope=args.remat_scope,
     )
     model = create_model(cfg)
     params, batch_stats = init_model(

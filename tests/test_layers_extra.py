@@ -111,13 +111,16 @@ def test_depthwise_shift_matches_grouped(rng):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("policy", ["conv", "full"])
-def test_remat_model_matches_plain(policy):
+@pytest.mark.parametrize(
+    "policy,scope",
+    [("conv", "encoder"), ("full", "encoder"), ("full", "all")],
+)
+def test_remat_model_matches_plain(policy, scope):
     from bts_tpu.models.bts import BTSModel, init_model
 
     kwargs = dict(encoder_name="mobilenetv2_bts", max_depth=10.0)
     plain = BTSModel(**kwargs, remat=False)
-    remat = BTSModel(**kwargs, remat=True, remat_policy=policy)
+    remat = BTSModel(**kwargs, remat=True, remat_policy=policy, remat_scope=scope)
     params, stats = init_model(plain, jax.random.key(0), (1, 64, 96, 3))
     x = jax.random.normal(jax.random.key(1), (1, 64, 96, 3))
     focal = jnp.array([518.8579])
