@@ -158,19 +158,42 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> int:
         print(f"Total number of parameters: {n_params}")
 
     if cfg.pretrained_model:
-        # Partial warm-start from a torch checkpoint (name intersection —
-        # the TF-side --pretrained_model behavior).
-        from bts_tpu.models.convert import (
-            convert_state_dict,
-            load_torch_checkpoint,
-        )
+        # Partial warm-start by name intersection (the TF-side
+        # --pretrained_model behavior, tensorflow/bts_main.py:228-232).
+        # Accepts either a torch checkpoint (zoo / torchvision ImageNet) or
+        # a reference-style TF checkpoint (ImageNet slim DenseNet).
+        from bts_tpu.models import convert_tf
 
-        torch_state = load_torch_checkpoint(cfg.pretrained_model)
-        params, batch_stats = convert_state_dict(
-            torch_state, params, batch_stats, strict=False
-        )
-        if is_primary:
-            print(f"Warm-started from '{cfg.pretrained_model}'")
+        if convert_tf.is_tf_checkpoint(cfg.pretrained_model):
+            path = cfg.pretrained_model
+            latest = convert_tf.tf_latest_checkpoint(path)
+            tf_vars = convert_tf.load_tf_checkpoint(latest or path)
+            params, batch_stats, report = convert_tf.warm_start_from_tf(
+                tf_vars, params, batch_stats, cfg.encoder
+            )
+            if is_primary:
+                for name in report["unmatched_checkpoint"]:
+                    # Reference wording: tensorflow/bts_main.py:119.
+                    print(
+                        f"{name} is in pretrained model but not in current "
+                        "training model"
+                    )
+                print(
+                    f"Warm-started {len(report['loaded'])} tensors from TF "
+                    f"checkpoint '{cfg.pretrained_model}'"
+                )
+        else:
+            from bts_tpu.models.convert import (
+                convert_state_dict,
+                load_torch_checkpoint,
+            )
+
+            torch_state = load_torch_checkpoint(cfg.pretrained_model)
+            params, batch_stats = convert_state_dict(
+                torch_state, params, batch_stats, strict=False
+            )
+            if is_primary:
+                print(f"Warm-started from '{cfg.pretrained_model}'")
 
     loader = TrainLoader(cfg, num_shards=nproc, shard_index=pidx)
     steps_per_epoch = loader.steps_per_epoch()
