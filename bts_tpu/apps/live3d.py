@@ -125,7 +125,11 @@ def make_depth_fn(cfg: Config, model=None, variables=None):
         h = rgb.shape[0] - rgb.shape[0] % 32
         w = rgb.shape[1] - rgb.shape[1] % 32
         img = center_crop(rgb, h, w).astype(np.float32) / 255.0
-        img = normalize_image(img)
+        # The reference PT demo normalizes caffe-style even though PT
+        # training used torchvision stats (pytorch/bts_live_3d.py:266-269)
+        # — a documented reference bug we do NOT replicate; the style
+        # follows the checkpoint via cfg (SURVEY.md §7 bug list).
+        img = normalize_image(img, cfg.resolved_normalization)
         key = (h, w)
         if key not in cache:
             cache[key] = jax.jit(

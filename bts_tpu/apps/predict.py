@@ -127,7 +127,12 @@ def run_predictions(
                 from bts_tpu.data.transforms import denormalize_image
 
                 rgb = np.clip(
-                    denormalize_image(np.asarray(batch["image"][i])), 0, 1
+                    denormalize_image(
+                        np.asarray(batch["image"][i]),
+                        cfg.resolved_normalization,
+                    ),
+                    0,
+                    1,
                 )
                 rgb = rgb[10:-10, 10:-10]
                 Image.fromarray((rgb * 255).astype(np.uint8)).save(

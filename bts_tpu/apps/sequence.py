@@ -79,7 +79,7 @@ def run_sequence(
     n = 0
     for path in files:
         img = np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
-        img = normalize_image(img)
+        img = normalize_image(img, cfg.resolved_normalization)
         img, (h, w) = _pad_to_multiple(img)
         outs = forward(img[None], np.array([focal], np.float32))
         lpg8, lpg4, lpg2, _, depth = [np.asarray(o)[0, :h, :w, 0] for o in outs]

@@ -67,6 +67,12 @@ class Config:
     degree: float = 2.5
     do_kb_crop: bool = False
     use_right: bool = False
+    # Input normalization: 'imagenet' (torchvision convention, the PT
+    # pipeline, pytorch/bts_dataloader.py:244) | 'caffe' (TF convention:
+    # x255 - mean, x0.017, tensorflow/bts_dataloader.py:148-153) | 'auto'
+    # (caffe when --pretrained_model is a TF checkpoint — the reference's
+    # ImageNet slim weights assume caffe statistics — else imagenet).
+    normalization: str = "auto"
 
     # Multi-device (reference: --num_threads/--world_size/...; here: one
     # JAX process per host, SPMD over the mesh instead of mp.spawn+NCCL)
@@ -152,6 +158,30 @@ class Config:
         if self.end_learning_rate != -1.0:
             return self.end_learning_rate
         return 0.1 * self.learning_rate
+
+    @property
+    def resolved_normalization(self) -> str:
+        """'imagenet' or 'caffe'; 'auto' sniffs --pretrained_model.
+
+        A TF ImageNet warm start (tensorflow/bts_main.py:228-232) only makes
+        sense with the TF pipeline's caffe statistics
+        (tensorflow/bts_dataloader.py:148-153) — feeding torchvision-
+        normalized inputs to caffe-trained encoder weights silently degrades
+        the warm start, so 'auto' selects caffe exactly then.
+        """
+        if self.normalization in ("imagenet", "caffe"):
+            return self.normalization
+        if self.normalization != "auto":
+            raise ValueError(
+                f"normalization must be 'imagenet', 'caffe' or 'auto' "
+                f"(got {self.normalization!r})"
+            )
+        if self.pretrained_model:
+            from bts_tpu.models.convert_tf import is_tf_checkpoint
+
+            if is_tf_checkpoint(self.pretrained_model):
+                return "caffe"
+        return "imagenet"
 
 
 def _build_parser() -> argparse.ArgumentParser:

@@ -32,6 +32,9 @@ import jax.numpy as jnp
 
 IMAGENET_MEAN = jnp.array([0.485, 0.456, 0.406], jnp.float32)
 IMAGENET_STD = jnp.array([0.229, 0.224, 0.225], jnp.float32)
+# TF caffe-style stats (tensorflow/bts_dataloader.py:148-153).
+CAFFE_MEAN = jnp.array([123.68, 116.78, 103.94], jnp.float32)
+CAFFE_SCALE = 0.017
 
 
 class AugmentParams(NamedTuple):
@@ -111,6 +114,7 @@ def apply_augment(
     out_h: int,
     out_w: int,
     skip_rotate: bool = False,
+    normalization: str = "imagenet",
 ):
     """Deterministic augmentation of one (H, W, C) sample given params."""
     if not skip_rotate:
@@ -131,7 +135,10 @@ def apply_augment(
     aug = jnp.clip(aug, 0.0, 1.0)
     image = jnp.where(params.do_photo, aug, image)
 
-    image = (image - IMAGENET_MEAN) / IMAGENET_STD
+    if normalization == "caffe":
+        image = (image * 255.0 - CAFFE_MEAN) * CAFFE_SCALE
+    else:
+        image = (image - IMAGENET_MEAN) / IMAGENET_STD
     return image, depth
 
 
@@ -143,6 +150,7 @@ def apply_augment(
         "degree",
         "dataset",
         "do_random_rotate",
+        "normalization",
     ),
 )
 def augment_batch(
@@ -154,6 +162,7 @@ def augment_batch(
     degree: float = 2.5,
     dataset: str = "nyu",
     do_random_rotate: bool = True,
+    normalization: str = "imagenet",
 ):
     """Fused batch augmentation: (B, H, W, 3) raw [0,1] images + (B, H, W, 1)
     depths -> cropped/augmented/normalized (B, out_h, out_w, *)."""
@@ -165,7 +174,13 @@ def augment_batch(
             k, src_h, src_w, out_h, out_w, degree, dataset, do_random_rotate
         )
         return apply_augment(
-            img, dep, p, out_h, out_w, skip_rotate=not do_random_rotate
+            img,
+            dep,
+            p,
+            out_h,
+            out_w,
+            skip_rotate=not do_random_rotate,
+            normalization=normalization,
         )
 
     return jax.vmap(one)(keys, images, depths)

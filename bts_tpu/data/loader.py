@@ -112,6 +112,7 @@ class TrainLoader:
                 do_kb_crop=cfg.do_kb_crop,
                 do_random_rotate=cfg.do_random_rotate,
                 degree=cfg.degree,
+                normalization=cfg.resolved_normalization,
             )
         return image, depth, np.float32(entry.focal)
 
@@ -203,6 +204,7 @@ class EvalLoader:
                 gt_path,
                 cfg.dataset,
                 do_kb_crop=cfg.do_kb_crop,
+                normalization=cfg.resolved_normalization,
             )
             yield {
                 "image": image,

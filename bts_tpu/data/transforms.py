@@ -151,6 +151,7 @@ def load_train_sample(
     do_kb_crop: bool = False,
     do_random_rotate: bool = False,
     degree: float = 2.5,
+    normalization: str = "imagenet",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Full reference train-sample pipeline -> (image HWC normed, depth HW1)."""
     image = Image.open(image_path)
@@ -172,7 +173,7 @@ def load_train_sample(
 
     image, depth = random_crop(image, depth, input_height, input_width, rng)
     image, depth = train_preprocess(image, depth, dataset, rng)
-    image = normalize_image(image)
+    image = normalize_image(image, normalization)
     return image.astype(np.float32), depth.astype(np.float32)
 
 
@@ -213,6 +214,7 @@ def load_eval_sample(
     depth_path: Optional[str],
     dataset: str,
     do_kb_crop: bool = False,
+    normalization: str = "imagenet",
 ):
     """Eval/test sample pipeline (pytorch/bts_dataloader.py:140-180).
 
@@ -235,5 +237,5 @@ def load_eval_sample(
             # (pytorch/bts_dataloader.py:174-175); the pred re-embed in
             # online eval then becomes the identity.
             depth = apply_kb_crop_array(depth)
-    image = normalize_image(image)
+    image = normalize_image(image, normalization)
     return image.astype(np.float32), depth

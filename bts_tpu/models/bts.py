@@ -94,6 +94,19 @@ class BTSModel(nn.Module):
 
 def create_model(cfg) -> BTSModel:
     """Build a BTSModel from a Config."""
+    if cfg.encoder not in ENCODERS:
+        raise ValueError(
+            f"unknown encoder '{cfg.encoder}'; options: {sorted(ENCODERS)}"
+        )
+    if cfg.bts_size < 128:
+        # The reduction_1x1 plane head halves bts_size//32 channels down to
+        # a final <8-wide stage (reference pytorch/bts.py:83-122), so
+        # bts_size//32 must be >= 4. Below that the fast tail would die
+        # with a bare IndexError deep in _FastReducParams.
+        raise ValueError(
+            f"bts_size must be >= 128 (got {cfg.bts_size}): the "
+            "reduction_1x1 head needs bts_size//32 >= 4 channels"
+        )
     return BTSModel(
         encoder_name=cfg.encoder,
         max_depth=cfg.max_depth,

@@ -31,7 +31,7 @@ from bts_tpu.data.loader import EvalLoader, TrainLoader
 from bts_tpu.evaluation.metrics import EVAL_METRICS
 from bts_tpu.evaluation.online import make_eval_forward, run_online_eval
 from bts_tpu.models.bts import create_model, init_model
-from bts_tpu.parallel.mesh import make_mesh, shard_batch
+from bts_tpu.parallel.mesh import make_mesh, replicate_tree, shard_batch
 from bts_tpu.training import checkpoint as ckpt_lib
 from bts_tpu.training.optim import create_optimizer
 from bts_tpu.training.snapshot import snapshot_run
@@ -105,7 +105,10 @@ class TrainLogger:
                     normalize_result(1.0 / np.maximum(np.asarray(arr[i]), 1e-6)),
                     step,
                 )
-            img = denormalize_image(np.asarray(batch["image"][i]))
+            img = denormalize_image(
+                np.asarray(batch["image"][i]),
+                self.cfg.resolved_normalization,
+            )
             self.writer.add_image(
                 f"image/image/{i}", np.clip(img, 0, 1).transpose(2, 0, 1), step
             )
@@ -217,6 +220,11 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> int:
             )
     if cfg.retrain:
         state = state.replace(step=jnp.zeros((), jnp.int32))
+
+    # Commit the (possibly restored) state to the mesh before step 0 —
+    # otherwise step 1 and step 2 see different avals and the train step
+    # XLA-compiles twice (see mesh.replicate_tree).
+    state = replicate_tree(state, mesh)
 
     train_step = jit_train_step(make_train_step(model, tx, cfg), mesh,
                                 cfg.mesh_axis_name)

@@ -26,7 +26,7 @@ class TrainState:
     opt_state: Any
 
 
-def create_train_state(params, batch_stats, tx) -> TrainState:
+def create_train_state(params, batch_stats, tx, mesh=None) -> TrainState:
     # tx.init runs under one jit: eagerly it dispatches ~2 tiny ops per
     # param leaf (~1400 executions for a 350-leaf tree), which serialize
     # over the axon tunnel's ~30ms round-trip into minutes of dead time
@@ -34,12 +34,19 @@ def create_train_state(params, batch_stats, tx) -> TrainState:
     opt_state, step = jax.jit(
         lambda p: (tx.init(p), jnp.zeros((), jnp.int32))
     )(params)
-    return TrainState(
+    state = TrainState(
         step=step,
         params=params,
         batch_stats=batch_stats,
         opt_state=opt_state,
     )
+    if mesh is not None:
+        # Replicate onto the step's mesh now so step 1 and step 2 share one
+        # compiled executable (see mesh.replicate_tree for the retrace trap).
+        from bts_tpu.parallel.mesh import replicate_tree
+
+        state = replicate_tree(state, mesh)
+    return state
 
 
 def make_train_step(model, tx, cfg):
@@ -58,6 +65,7 @@ def make_train_step(model, tx, cfg):
         from bts_tpu.data.device_augment import augment_batch
 
         aug_base_key = jax.random.key(cfg.seed)
+        normalization = cfg.resolved_normalization
 
     def loss_fn(params, batch_stats, batch):
         variables = {"params": params, "batch_stats": batch_stats}
@@ -96,6 +104,7 @@ def make_train_step(model, tx, cfg):
                 degree=cfg.degree,
                 dataset=cfg.dataset,
                 do_random_rotate=False,
+                normalization=normalization,
             )
             batch = {"image": image, "depth": depth, "focal": batch["focal"]}
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -131,6 +140,7 @@ def make_panel_forward(model, cfg):
         from bts_tpu.data.device_augment import augment_batch
 
         aug_base_key = jax.random.key(cfg.seed)
+        normalization = cfg.resolved_normalization
 
     def fwd(params, batch_stats, batch, step):
         image, depth = batch["image"], batch["depth"]
@@ -145,6 +155,7 @@ def make_panel_forward(model, cfg):
                 degree=cfg.degree,
                 dataset=cfg.dataset,
                 do_random_rotate=False,
+                normalization=normalization,
             )
         variables = {"params": params, "batch_stats": batch_stats}
         outs = model.apply(variables, image, batch["focal"], train=False)

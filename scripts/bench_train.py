@@ -81,7 +81,7 @@ def main() -> None:
     )
     mesh = make_mesh(cfg.num_devices, cfg.mesh_axis_name)
     tx, _ = create_optimizer(cfg, params, num_total_steps=10_000)
-    state = create_train_state(params, batch_stats, tx)
+    state = create_train_state(params, batch_stats, tx, mesh=mesh)
     train_step = jit_train_step(
         make_train_step(model, tx, cfg), mesh, cfg.mesh_axis_name
     )

@@ -108,28 +108,32 @@ def test_device_augment_train_step(rng, tmp_path):
         make_train_step,
     )
 
+    # Small model/res: each of the 8 in-process parties must finish its step
+    # well inside XLA:CPU's 40s all-reduce rendezvous watchdog on this
+    # 1-core host (see CLAUDE.md).
     cfg = Config(
         encoder="mobilenetv2_bts",
         dataset="nyu",
         max_depth=10.0,
         batch_size=8,
-        input_height=64,
-        input_width=96,
+        input_height=32,
+        input_width=64,
+        bts_size=128,
         device_augment=True,
         do_random_rotate=True,
         degree=2.5,
     )
     model = create_model(cfg)
-    params, stats = init_model(model, jax.random.key(0), (8, 64, 96, 3))
+    params, stats = init_model(model, jax.random.key(0), (8, 32, 64, 3))
     tx, _ = create_optimizer(cfg, params, 100)
-    state = create_train_state(params, stats, tx)
     mesh = make_mesh(8)
+    state = create_train_state(params, stats, tx, mesh=mesh)
     step = jit_train_step(make_train_step(model, tx, cfg), mesh)
     batch = shard_batch(
         {
             # raw (pre-crop) images, larger than the train crop
-            "image": rng.uniform(0, 1, size=(8, 96, 128, 3)).astype(np.float32),
-            "depth": rng.uniform(0.5, 9, size=(8, 96, 128, 1)).astype(np.float32),
+            "image": rng.uniform(0, 1, size=(8, 48, 96, 3)).astype(np.float32),
+            "depth": rng.uniform(0.5, 9, size=(8, 48, 96, 1)).astype(np.float32),
             "focal": np.full((8,), 518.8579, np.float32),
         },
         mesh,

@@ -22,7 +22,11 @@ from bts_tpu.training.state import (
 
 pytestmark = pytest.mark.slow  # multi-minute: full-model builds / oracles / e2e
 
-H, W = 64, 96
+# 32x64 / bts_size=128: each of the 8 in-process mesh parties must finish
+# its step well inside XLA:CPU's hard 40s all-reduce rendezvous watchdog
+# (rendezvous.cc) on this 1-core host — at 64x96/bts_size=512 the collective
+# tests SIGABRT (see CLAUDE.md environment gotchas).
+H, W = 32, 64
 
 
 def _tiny_cfg(**kw):
@@ -33,6 +37,7 @@ def _tiny_cfg(**kw):
         batch_size=8,
         input_height=H,
         input_width=W,
+        bts_size=128,
         learning_rate=1e-4,
         num_epochs=2,
         adam_eps=1e-3,
@@ -134,8 +139,8 @@ def test_param_labels_freezing_resnet():
 def test_train_step_runs_and_freezes(tiny_model_state):
     cfg, model, params, batch_stats = tiny_model_state
     tx, _ = create_optimizer(cfg, params, num_total_steps=100)
-    state = create_train_state(params, batch_stats, tx)
     mesh = make_mesh(8)
+    state = create_train_state(params, batch_stats, tx, mesh=mesh)
     step_fn = jit_train_step(make_train_step(model, tx, cfg), mesh)
 
     rng = np.random.default_rng(0)
@@ -167,8 +172,8 @@ def test_overfit_tiny_batch(tiny_model_state):
     cfg, model, params, batch_stats = tiny_model_state
     cfg = cfg.replace(learning_rate=1e-3)
     tx, _ = create_optimizer(cfg, params, num_total_steps=10000)
-    state = create_train_state(params, batch_stats, tx)
     mesh = make_mesh(8)
+    state = create_train_state(params, batch_stats, tx, mesh=mesh)
     step_fn = jit_train_step(make_train_step(model, tx, cfg), mesh)
 
     rng = np.random.default_rng(1)
@@ -207,8 +212,8 @@ def test_bf16_overfit_matches_f32():
             model, jax.random.key(0), (8, H, W, 3)
         )
         tx, _ = create_optimizer(cfg, params, num_total_steps=10000)
-        state = create_train_state(params, batch_stats, tx)
         mesh = make_mesh(8)
+        state = create_train_state(params, batch_stats, tx, mesh=mesh)
         step_fn = jit_train_step(make_train_step(model, tx, cfg), mesh)
         batch = shard_batch(
             {"image": image, "depth": depth, "focal": focal}, mesh
