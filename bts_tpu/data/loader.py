@@ -215,16 +215,26 @@ class EvalLoader:
 
     def batches(self) -> Iterator[dict]:
         """Yield fixed-shape batches with a validity 'weight' vector; the
-        final partial batch is padded (weight 0) so jit sees one shape."""
+        final partial batch is padded (weight 0) so jit sees one shape.
+
+        Samples are grouped by image shape: NYU / kb-cropped KITTI are
+        homogeneous (one group, order preserved), but a mixed-size manifest
+        must not crash the np.stack below or silently drop samples — every
+        sample is yielded exactly once, in a batch of its own shape group
+        (reference exact-count semantics,
+        distributed_sampler_no_evenly_divisible.py:30-40).
+        """
         bs = self.batch_size
-        buf: List[dict] = []
+        bufs: dict = {}  # image shape -> buffered samples
         for s in self.samples():
+            buf = bufs.setdefault(s["image"].shape, [])
             buf.append(s)
             if len(buf) == bs:
                 yield self._collate(buf, bs)
-                buf = []
-        if buf:
-            yield self._collate(buf, bs)
+                buf.clear()
+        for buf in bufs.values():
+            if buf:
+                yield self._collate(buf, bs)
 
     @staticmethod
     def _collate(buf: List[dict], bs: int) -> dict:

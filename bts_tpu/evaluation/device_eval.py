@@ -32,33 +32,55 @@ import numpy as np
 from bts_tpu.evaluation.metrics import compute_errors_masked
 
 
-def pack_gt_batch(depths, weights, dataset: str):
+def pack_gt_batch(depths, weights, dataset: str, pred_shape=None):
     """List of HW1 float-meter gt (or None) -> (B,H,W) uint16 raw batch.
 
     Depth values are k/1000 (NYU) or k/256 (KITTI) in f32, so the
     round-trip back to uint16 is exact — the device sees bit-identical
     meters after its own division. Samples with missing gt or weight 0
-    become all-zero (invalid everywhere). Returns (raw, effective_weights).
+    become all-zero (invalid everywhere).
+
+    Returns (raw, effective_weights, mismatched): `mismatched` lists the
+    indices of real samples whose gt shape differs from the batch shape
+    (pred_shape when given, else the first valid gt) — the batched kernel
+    cannot score them, so the caller MUST score them per-sample (reference
+    semantics: every eval sample counted exactly once,
+    distributed_sampler_no_evenly_divisible.py:30-40). A loud warning is
+    emitted so a heterogeneous dataset never undercounts silently.
     """
     scale = 1000.0 if dataset == "nyu" else 256.0
-    arrs, eff = [], []
-    shape = None
-    for d, w in zip(depths, weights):
-        if d is not None and w > 0:
-            shape = d.shape[:2]
-            break
+    arrs, eff, mismatched = [], [], []
+    shape = tuple(pred_shape) if pred_shape is not None else None
     if shape is None:
-        return None, None
-    for d, w in zip(depths, weights):
-        if d is None or w == 0 or d.shape[:2] != shape:
+        for d, w in zip(depths, weights):
+            if d is not None and w > 0:
+                shape = d.shape[:2]
+                break
+    if shape is None:
+        return None, None, []
+    for i, (d, w) in enumerate(zip(depths, weights)):
+        if d is None or w == 0:
             arrs.append(np.zeros(shape, np.uint16))
             eff.append(0.0)
+        elif d.shape[:2] != shape:
+            arrs.append(np.zeros(shape, np.uint16))
+            eff.append(0.0)
+            mismatched.append(i)
         else:
             arrs.append(
                 np.round(d[..., 0] * scale).astype(np.uint16)
             )
             eff.append(1.0)
-    return np.stack(arrs), np.asarray(eff, np.float32)
+    if mismatched:
+        import warnings
+
+        warnings.warn(
+            f"device eval: {len(mismatched)} gt sample(s) with shape != "
+            f"{shape} cannot ride the batched metric kernel; scoring them "
+            "per-sample on the host instead",
+            stacklevel=2,
+        )
+    return np.stack(arrs), np.asarray(eff, np.float32), mismatched
 
 
 def make_batch_metrics(cfg):
@@ -119,10 +141,15 @@ def run_batch(
     batch: dict,
     dataset: str,
 ) -> Optional[tuple]:
-    """One eval batch through the device path. Returns (sums9, count) as
-    host numpy, or None when the whole batch lacks usable gt."""
-    gt_raw, eff = pack_gt_batch(batch["depths"], batch["weight"], dataset)
+    """One eval batch through the device path. Returns
+    (sums9, count, mismatched_indices) as host values, or None when the
+    whole batch lacks usable gt. Mismatched-shape samples are NOT counted
+    here — the caller scores them per-sample (see pack_gt_batch)."""
+    gt_raw, eff, mismatched = pack_gt_batch(
+        batch["depths"], batch["weight"], dataset,
+        pred_shape=np.asarray(preds).shape[1:3],
+    )
     if gt_raw is None:
         return None
     sums, count = batch_metrics(preds, gt_raw, eff)
-    return np.asarray(sums, np.float64), float(count)
+    return np.asarray(sums, np.float64), float(count), mismatched

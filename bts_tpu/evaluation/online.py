@@ -82,6 +82,22 @@ def run_online_eval(
 
         batch_metrics = make_batch_metrics(cfg)
 
+    def score_host_sample(pred_i, gt):
+        """Numpy-protocol scoring of one sample -> (sums9, 0/1)."""
+        pred, gt, mask = prepare_pred_gt(
+            pred_i,
+            gt,
+            cfg.min_depth_eval,
+            cfg.max_depth_eval,
+            cfg.dataset,
+            do_kb_crop=cfg.do_kb_crop,
+            garg_crop=cfg.garg_crop,
+            eigen_crop=cfg.eigen_crop,
+        )
+        if not mask.any():
+            return np.zeros(9, np.float64), 0
+        return compute_errors(gt[mask], pred[mask]), 1
+
     sums = np.zeros(9, dtype=np.float64)
     count = 0
     for batch in loader.batches():
@@ -95,6 +111,16 @@ def run_online_eval(
             if out is not None:
                 sums += out[0]
                 count += int(round(out[1]))
+                # Samples whose gt shape can't ride the batched kernel are
+                # scored per-sample so every eval sample counts exactly
+                # once (distributed_sampler_no_evenly_divisible.py:30-40).
+                host_preds = np.asarray(preds) if out[2] else None
+                for i in out[2]:
+                    s, c = score_host_sample(
+                        host_preds[i], batch["depths"][i]
+                    )
+                    sums += s
+                    count += c
             continue
         preds = np.asarray(preds)
         for i, w in enumerate(batch["weight"]):
@@ -103,20 +129,9 @@ def run_online_eval(
             gt = batch["depths"][i]
             if gt is None:
                 continue  # missing gt tolerated (pytorch/bts_main.py:258-260)
-            pred, gt, mask = prepare_pred_gt(
-                preds[i],
-                gt,
-                cfg.min_depth_eval,
-                cfg.max_depth_eval,
-                cfg.dataset,
-                do_kb_crop=cfg.do_kb_crop,
-                garg_crop=cfg.garg_crop,
-                eigen_crop=cfg.eigen_crop,
-            )
-            if not mask.any():
-                continue
-            sums += compute_errors(gt[mask], pred[mask])
-            count += 1
+            s, c = score_host_sample(preds[i], gt)
+            sums += s
+            count += c
 
     if nproc > 1:
         # Cross-process metric reduction — the reference's

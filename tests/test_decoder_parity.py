@@ -20,7 +20,7 @@ import numpy as np
 import pytest
 import torch
 
-pytestmark = pytest.mark.slow  # multi-minute: full-model builds / oracles / e2e
+pytestmark = pytest.mark.medium  # round-end canary tier (see pyproject markers)
 
 REFERENCE_PT = "/root/reference/pytorch"
 

@@ -14,7 +14,7 @@ from bts_tpu.data.device_augment import (
     rotate_image,
 )
 
-pytestmark = pytest.mark.slow  # multi-minute: full-model builds / oracles / e2e
+pytestmark = pytest.mark.medium  # round-end canary tier (see pyproject markers)
 
 
 def _params(**kw):

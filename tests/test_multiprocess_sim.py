@@ -11,7 +11,7 @@ import numpy as np
 import pytest
 from PIL import Image
 
-pytestmark = pytest.mark.slow  # multi-minute: full-model builds / oracles / e2e
+pytestmark = pytest.mark.medium  # round-end canary tier (see pyproject markers)
 
 import jax
 

@@ -20,7 +20,7 @@ from bts_tpu.training.state import (
     make_train_step,
 )
 
-pytestmark = pytest.mark.slow  # multi-minute: full-model builds / oracles / e2e
+pytestmark = pytest.mark.medium  # round-end canary tier (see pyproject markers)
 
 # 32x64 / bts_size=128: each of the 8 in-process mesh parties must finish
 # its step well inside XLA:CPU's hard 40s all-reduce rendezvous watchdog
