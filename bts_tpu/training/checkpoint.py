@@ -205,6 +205,47 @@ def load_any_checkpoint(path: str, template_params=None, template_stats=None):
     return params, stats
 
 
+def average_checkpoints(paths):
+    """Uniform parameter average of N checkpoints (SWA-style eval).
+
+    Accepts full-training or params-only checkpoints; returns
+    (params, batch_stats) host trees ready for save_params_only /
+    inference. Float leaves are averaged in float64 then cast back;
+    non-float leaves (none in this model) keep the first checkpoint's
+    value. BN running stats are averaged too — the standard cheap
+    approximation (exact SWA re-estimates them with a data pass; with
+    bn_init_as_tf semantics the stats are frozen and identical anyway).
+
+    No reference equivalent (the reference keeps per-metric best
+    checkpoints, pytorch/bts_main.py:513-539); this composes with them:
+    average the best-d1/best-rms/... snapshots and eval the result.
+    """
+    if not paths:
+        raise ValueError("average_checkpoints: need at least one path")
+    acc_params = acc_stats = None
+    for path in paths:
+        params, stats = load_any_checkpoint(path)
+
+        def add(a, b):
+            if a is None:
+                return np.asarray(b, np.float64)
+            return a + np.asarray(b, np.float64)
+
+        if acc_params is None:
+            acc_params = jax.tree.map(lambda x: add(None, x), params)
+            acc_stats = jax.tree.map(lambda x: add(None, x), stats)
+            tmpl_params, tmpl_stats = params, stats
+        else:
+            acc_params = jax.tree.map(add, acc_params, params)
+            acc_stats = jax.tree.map(add, acc_stats, stats)
+    n = float(len(paths))
+    cast = lambda a, t: (a / n).astype(np.asarray(t).dtype)
+    return (
+        jax.tree.map(cast, acc_params, tmpl_params),
+        jax.tree.map(cast, acc_stats, tmpl_stats),
+    )
+
+
 def best_checkpoint_name(step: int, metric: str, value: float) -> str:
     """Reference naming (pytorch/bts_main.py:530)."""
     return f"model-{step}-best_{metric}_{value:.5f}"
