@@ -132,6 +132,10 @@ class Config:
     # Remat scope: 'encoder' (skips saved as the boundary) or 'all' (also
     # remat the decoder — for batches where decoder activations OOM).
     remat_scope: str = "encoder"
+    # Checkpoint + exit cleanly when SIGTERM arrives (cloud TPU preemption
+    # delivers SIGTERM with a grace window). --no-preempt_checkpoint
+    # restores plain kill semantics.
+    preempt_checkpoint: bool = True
     # Dispatch checkpoint saves to a background thread (orbax async): the
     # step loop continues while device->host reads and file writes run.
     # Costs transient HBM (the saved state stays referenced until the

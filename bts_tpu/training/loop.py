@@ -19,6 +19,7 @@ Reference behaviors covered (pytorch/bts_main.py:322-604):
 from __future__ import annotations
 
 import os
+import signal
 import time
 from typing import Optional
 
@@ -323,9 +324,20 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> int:
                     )
         return True
 
+    # Preemption safety (TPU-native; SURVEY.md §5.3 — the reference has
+    # none): cloud TPU eviction delivers SIGTERM with a grace window; latch
+    # it and checkpoint + exit cleanly at the next step boundary.
+    from bts_tpu.training.preempt import PreemptionGuard
+
+    preempt_guard = PreemptionGuard(
+        signals=(signal.SIGTERM,) if cfg.preempt_checkpoint else ()
+    )
+    preempt_guard.__enter__()
+
     def finish(rv: int) -> int:
         if profiling:
             jax.profiler.stop_trace()
+        preempt_guard.__exit__(None, None, None)
         # Commit any in-flight async checkpoint before returning control
         # (callers may immediately read the checkpoint back, e.g. tests
         # and the train->test->eval CLI chain).
@@ -452,6 +464,21 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> int:
                             )
 
             model_just_loaded = False
+            if preempt_guard.requested:
+                while pending:
+                    if not process_pending(pending.popleft()):
+                        return finish(-1)
+                if is_primary and run_dir:
+                    print(
+                        "Termination signal received; saving checkpoint "
+                        f"model-{global_step} and exiting cleanly."
+                    )
+                    ckpt_lib.save_checkpoint(
+                        os.path.join(run_dir, f"model-{global_step}"),
+                        state,
+                        best,
+                    )
+                return finish(global_step)
             if max_steps is not None and global_step >= max_steps:
                 while pending:
                     if not process_pending(pending.popleft()):

@@ -129,6 +129,61 @@ def test_online_eval_simulated_3process_equals_single(eval_setup):
     np.testing.assert_allclose(combined, single, rtol=2e-5)
 
 
+def test_train_step_executable_reuse():
+    """The mesh-context retrace trap (docs/DESIGN.md round 4): a state not
+    committed to the mesh before step 0 makes step 2 retrace + recompile
+    the whole train step. create_train_state(mesh=...) must keep the jit
+    cache at ONE entry across steps; the unplaced path is pinned at two as
+    the negative control. Uses a one-conv stand-in model so both compiles
+    are fast — the trap lives in the step/state plumbing, not the model."""
+    import flax.linen as nn
+    import jax.numpy as jnp
+
+    from bts_tpu.training.optim import create_optimizer
+    from bts_tpu.training.state import (
+        create_train_state,
+        jit_train_step,
+        make_train_step,
+    )
+
+    class _Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, focal, train=False):
+            d = 10.0 * jax.nn.sigmoid(nn.Conv(1, (3, 3))(x))
+            return (d, d, d, d, d)
+
+    cfg = Config(dataset="nyu", max_depth=10.0, batch_size=8)
+    model = _Tiny()
+    rng = np.random.default_rng(0)
+    batch_np = {
+        "image": rng.normal(size=(8, 16, 16, 3)).astype(np.float32),
+        "depth": rng.uniform(0.5, 9.5, size=(8, 16, 16, 1)).astype(np.float32),
+        "focal": np.full((8,), 518.8579, np.float32),
+    }
+    mesh = make_mesh(8)
+    device_batch = shard_batch(batch_np, mesh)
+
+    def run(place_on_mesh: bool) -> int:
+        variables = model.init(
+            jax.random.key(0), jnp.zeros((8, 16, 16, 3)), jnp.zeros((8,))
+        )
+        params = variables["params"]
+        tx, _ = create_optimizer(cfg, params, num_total_steps=100)
+        state = create_train_state(
+            params, {}, tx, mesh=mesh if place_on_mesh else None
+        )
+        step_fn = jit_train_step(make_train_step(model, tx, cfg), mesh)
+        for _ in range(3):
+            state, _ = step_fn(state, device_batch)
+        return step_fn._cache_size()
+
+    assert run(place_on_mesh=True) == 1
+    # Negative control: the unplaced state really does cost a second
+    # trace/compile (if jax ever stops keying on the mesh context, this
+    # documents that the placement became optional).
+    assert run(place_on_mesh=False) == 2
+
+
 def test_multihost_env_decision_table():
     """maybe_init_distributed decides purely from the environment
     (VERDICT r2 #7): no backend call before initialize, documented table."""

@@ -327,3 +327,60 @@ def test_train_loop_end_to_end(tmp_path):
     run_dir = tmp_path / "logs" / "tiny_run"
     assert (run_dir / "arguments.txt").exists()
     assert (run_dir / "bts_tpu" / "models" / "bts.py").exists()
+
+
+def test_train_preemption_checkpoints_and_resumes(tmp_path, monkeypatch):
+    """A latched termination signal makes train() checkpoint the current
+    step and return it; a resume continues from there. The guard is faked
+    (always 'requested') so the exit path is deterministic — the real
+    signal latching is covered in tests/test_preempt.py."""
+    from bts_tpu.training import preempt
+    from bts_tpu.training.loop import train
+
+    root = tmp_path / "data"
+    scene = root / "s1"
+    scene.mkdir(parents=True)
+    rng = np.random.default_rng(5)
+    lines = []
+    for i in range(8):
+        rgb = rng.integers(0, 255, size=(H * 2, W * 2, 3), dtype=np.uint8)
+        depth = rng.integers(500, 9000, size=(H * 2, W * 2), dtype=np.uint16)
+        Image.fromarray(rgb).save(scene / f"rgb_{i:05d}.jpg")
+        Image.fromarray(depth).save(scene / f"sync_depth_{i:05d}.png")
+        lines.append(f"s1/rgb_{i:05d}.jpg s1/sync_depth_{i:05d}.png 518.8579")
+    manifest = root / "train.txt"
+    manifest.write_text("\n".join(lines) + "\n")
+
+    cfg = _tiny_cfg(
+        data_path=str(root),
+        gt_path=str(root),
+        filenames_file=str(manifest),
+        log_directory=str(tmp_path / "logs"),
+        model_name="preempt_run",
+        num_epochs=2,
+        log_freq=1,
+        save_freq=1000,
+    )
+
+    class FakeGuard:
+        def __init__(self, signals=()):
+            pass
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+        requested = True
+
+    monkeypatch.setattr(preempt, "PreemptionGuard", FakeGuard)
+    final_step = train(cfg)  # no max_steps — only the guard can stop it
+    assert final_step == 1
+    ckpt = tmp_path / "logs" / "preempt_run" / "model-1"
+    assert ckpt.exists()
+
+    # Resume from the preemption checkpoint with the real guard.
+    monkeypatch.undo()
+    resumed = train(cfg.replace(checkpoint_path=str(ckpt)), max_steps=2)
+    assert resumed == 2
