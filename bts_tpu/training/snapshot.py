@@ -27,9 +27,17 @@ def snapshot_run(cfg: Config, argv=None) -> str:
     run_dir = os.path.join(cfg.log_directory or ".", cfg.model_name)
     os.makedirs(run_dir, exist_ok=True)
 
-    # Args-file provenance (pytorch/bts_main.py:565-567).
+    # Args-file provenance (pytorch/bts_main.py:565-567). Pin 'auto'
+    # normalization to its RESOLVED value: 'auto' sniffs whether
+    # --pretrained_model is a TF checkpoint ON DISK, so replaying the
+    # argfile on a host without that file would silently flip a
+    # caffe-normalized run back to imagenet statistics at eval time.
     with open(os.path.join(run_dir, "arguments.txt"), "w") as f:
-        f.write(config_to_argfile(cfg))
+        f.write(
+            config_to_argfile(
+                cfg.replace(normalization=cfg.resolved_normalization)
+            )
+        )
     if argv:
         with open(os.path.join(run_dir, "argv.txt"), "w") as f:
             f.write(" ".join(argv) + "\n")

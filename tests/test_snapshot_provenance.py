@@ -114,3 +114,27 @@ def test_cli_redispatches_into_snapshot(tmp_path):
         assert os.path.exists(sentinel)
     finally:
         _purge_and_restore(saved, run_dir)
+
+
+def test_snapshot_pins_resolved_normalization(tmp_path):
+    """'auto' normalization resolves against --pretrained_model's existence
+    ON DISK; the snapshot argfile must record the resolved style so eval on
+    a host without the original checkpoint keeps the training statistics."""
+    tf_ckpt = tmp_path / "imagenet_model"
+    (tmp_path / "imagenet_model.index").write_bytes(b"\x00")
+    cfg = Config(
+        log_directory=str(tmp_path),
+        model_name="prov_norm",
+        pretrained_model=str(tf_ckpt),
+    )
+    assert cfg.resolved_normalization == "caffe"
+    run_dir = snapshot_run(cfg)
+    args_text = open(os.path.join(run_dir, "arguments.txt")).read()
+    assert "--normalization caffe" in args_text
+
+    # Replaying the argfile elsewhere (checkpoint file gone) keeps caffe.
+    os.remove(tmp_path / "imagenet_model.index")
+    from bts_tpu.config import parse_args
+
+    replayed = parse_args([os.path.join(run_dir, "arguments.txt")])
+    assert replayed.resolved_normalization == "caffe"
