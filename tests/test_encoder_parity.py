@@ -225,13 +225,28 @@ CASES = {
         _densenet_oracle((6, 12, 24, 16), 32, 64),
         lambda m, x: _densenet_forward(m, x, (6, 12, 24, 16)),
     ),
+    # The flagship (growth 48, init 96, torchvision densenet161 config).
+    "densenet161_bts": lambda: (
+        _densenet_oracle((6, 12, 36, 24), 48, 96),
+        lambda m, x: _densenet_forward(m, x, (6, 12, 36, 24)),
+    ),
     "resnet50_bts": lambda: (
         _resnet_oracle((3, 4, 6, 3)),
         lambda m, x: _resnet_forward(m, x, (3, 4, 6, 3)),
     ),
+    "resnet101_bts": lambda: (
+        _resnet_oracle((3, 4, 23, 3)),
+        lambda m, x: _resnet_forward(m, x, (3, 4, 23, 3)),
+    ),
     "resnext50_bts": lambda: (
         _resnet_oracle((3, 4, 6, 3), groups=32, base_width=4),
         lambda m, x: _resnet_forward(m, x, (3, 4, 6, 3)),
+    ),
+    # torchvision resnext101_32x8d (groups 32, width 8) — the widest zoo
+    # member; also exercises the 128-lane grouped-conv packing numerics.
+    "resnext101_bts": lambda: (
+        _resnet_oracle((3, 4, 23, 3), groups=32, base_width=8),
+        lambda m, x: _resnet_forward(m, x, (3, 4, 23, 3)),
     ),
     "mobilenetv2_bts": lambda: (
         _mobilenet_oracle(),
