@@ -51,7 +51,10 @@ def test_lpg_expand_equals_downsample(rng, r, ds):
     np.testing.assert_allclose(got, full[:, ::ds, ::ds], rtol=1e-6)
 
 
-def test_fast_tail_equals_plain_tail(rng):
+@pytest.mark.parametrize("nf", [512, 128])
+def test_fast_tail_equals_plain_tail(rng, nf):
+    # nf=128 is the documented minimum bts_size (create_model validation)
+    # and the size the multichip dryrun + mesh canaries run at.
     channels = [64, 64, 128, 256, 1024]
     divs = [2, 4, 8, 16, 32]
     skips = [
@@ -62,8 +65,12 @@ def test_fast_tail_equals_plain_tail(rng):
     ]
     focal = jnp.array([718.856, 600.0])
 
-    fast = BTSDecoder(max_depth=10.0, dataset="kitti", fast_tail=True)
-    slow = BTSDecoder(max_depth=10.0, dataset="kitti", fast_tail=False)
+    fast = BTSDecoder(
+        max_depth=10.0, dataset="kitti", fast_tail=True, num_features=nf
+    )
+    slow = BTSDecoder(
+        max_depth=10.0, dataset="kitti", fast_tail=False, num_features=nf
+    )
     variables = fast.init(jax.random.key(0), skips, focal, train=False)
     # Same param tree for both tails.
     slow_vars = slow.init(jax.random.key(0), skips, focal, train=False)
