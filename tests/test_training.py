@@ -329,6 +329,71 @@ def test_train_loop_end_to_end(tmp_path):
     assert (run_dir / "bts_tpu" / "models" / "bts.py").exists()
 
 
+def test_train_online_eval_saves_best_checkpoints(tmp_path):
+    """End-to-end wiring of in-training online eval (reference E3,
+    pytorch/bts_main.py:505-544): eval every eval_freq steps, per-metric
+    best checkpoints saved with the reference naming, superseded bests
+    removed, eval scalars logged."""
+    import re
+
+    from bts_tpu.training.loop import train
+
+    root = tmp_path / "data"
+    scene = root / "s1"
+    scene.mkdir(parents=True)
+    rng = np.random.default_rng(9)
+    lines = []
+    for i in range(8):
+        rgb = rng.integers(0, 255, size=(H * 2, W * 2, 3), dtype=np.uint8)
+        depth = rng.integers(500, 9000, size=(H * 2, W * 2), dtype=np.uint16)
+        Image.fromarray(rgb).save(scene / f"rgb_{i:05d}.jpg")
+        Image.fromarray(depth).save(scene / f"sync_depth_{i:05d}.png")
+        lines.append(f"s1/rgb_{i:05d}.jpg s1/sync_depth_{i:05d}.png 518.8579")
+    manifest = root / "train.txt"
+    manifest.write_text("\n".join(lines) + "\n")
+    # Small eval split (full-size images exercise the per-resolution cache).
+    eval_manifest = root / "eval.txt"
+    eval_manifest.write_text("\n".join(lines[:2]) + "\n")
+
+    cfg = _tiny_cfg(
+        data_path=str(root),
+        gt_path=str(root),
+        filenames_file=str(manifest),
+        data_path_eval=str(root),
+        gt_path_eval=str(root),
+        filenames_file_eval=str(eval_manifest),
+        log_directory=str(tmp_path / "logs"),
+        model_name="oe_run",
+        num_epochs=2,
+        log_freq=10,
+        do_online_eval=True,
+        eval_freq=1,
+        eval_batch_size=2,
+        min_depth_eval=1e-3,
+        max_depth_eval=10.0,
+    )
+    final_step = train(cfg, max_steps=2)
+    assert final_step == 2
+
+    run_dir = tmp_path / "logs" / "oe_run"
+    names = sorted(os.listdir(run_dir))
+    best = [n for n in names if re.match(r"model-\d+-best_[\w/]+_[\d.]+$", n)]
+    # First eval improves every metric -> nine bests exist afterwards, each
+    # pointing at step 1 or (if step 2 improved it) step 2 only — never both.
+    metrics_seen = {}
+    for n in best:
+        m = re.match(r"model-(\d+)-best_(.+)_[\d.]+$", n)
+        step, metric = int(m.group(1)), m.group(2)
+        assert metric not in metrics_seen, f"stale best not removed: {n}"
+        metrics_seen[metric] = step
+    assert len(metrics_seen) == 9, best
+    # TensorBoard eval scalars written.
+    summary_dir = run_dir / "summaries"
+    assert any(
+        "tfevents" in f for _, _, fs in os.walk(summary_dir) for f in fs
+    )
+
+
 def test_train_preemption_checkpoints_and_resumes(tmp_path, monkeypatch):
     """A latched termination signal makes train() checkpoint the current
     step and return it; a resume continues from there. The guard is faked
