@@ -120,16 +120,17 @@ def make_depth_fn(cfg: Config, model=None, variables=None):
         variables = {"params": params, "batch_stats": stats}
 
     cache: dict = {}
+    # Resolved once, not per frame. The reference PT demo normalizes
+    # caffe-style even though PT training used torchvision stats
+    # (pytorch/bts_live_3d.py:266-269) — a documented reference bug we do
+    # NOT replicate; the style follows the checkpoint via cfg.
+    normalization = cfg.resolved_normalization
 
     def depth_fn(rgb: np.ndarray) -> np.ndarray:
         h = rgb.shape[0] - rgb.shape[0] % 32
         w = rgb.shape[1] - rgb.shape[1] % 32
         img = center_crop(rgb, h, w).astype(np.float32) / 255.0
-        # The reference PT demo normalizes caffe-style even though PT
-        # training used torchvision stats (pytorch/bts_live_3d.py:266-269)
-        # — a documented reference bug we do NOT replicate; the style
-        # follows the checkpoint via cfg (SURVEY.md §7 bug list).
-        img = normalize_image(img, cfg.resolved_normalization)
+        img = normalize_image(img, normalization)
         key = (h, w)
         if key not in cache:
             cache[key] = jax.jit(

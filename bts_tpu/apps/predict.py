@@ -88,6 +88,7 @@ def run_predictions(
     out_dir = out_dir or f"result_{cfg.model_name}"
     for sub in ("raw", "cmap", "rgb", "gt"):
         os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
+    normalization = cfg.resolved_normalization  # resolved once
 
     t0 = time.time()
     n = 0
@@ -128,8 +129,7 @@ def run_predictions(
 
                 rgb = np.clip(
                     denormalize_image(
-                        np.asarray(batch["image"][i]),
-                        cfg.resolved_normalization,
+                        np.asarray(batch["image"][i]), normalization
                     ),
                     0,
                     1,

@@ -66,6 +66,7 @@ def run_sequence(
         + glob.glob(os.path.join(image_dir, "*.jpg"))
     )
     focal = sequence_focal(cfg)
+    normalization = cfg.resolved_normalization  # resolved once
     cache: dict = {}
 
     def forward(image, f):
@@ -79,7 +80,7 @@ def run_sequence(
     n = 0
     for path in files:
         img = np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
-        img = normalize_image(img, cfg.resolved_normalization)
+        img = normalize_image(img, normalization)
         img, (h, w) = _pad_to_multiple(img)
         outs = forward(img[None], np.array([focal], np.float32))
         lpg8, lpg4, lpg2, _, depth = [np.asarray(o)[0, :h, :w, 0] for o in outs]

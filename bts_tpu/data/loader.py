@@ -50,6 +50,10 @@ class TrainLoader:
         # it via sharding.
         self.host_batch = max(cfg.batch_size // max(num_shards, 1), 1)
         self.num_workers = num_workers or max(cfg.num_threads, 1)
+        # Resolved ONCE: 'auto' stats the --pretrained_model path, and the
+        # style must not flip mid-run if that file moves (nor cost two
+        # fstats per sample on the worker threads).
+        self.normalization = cfg.resolved_normalization
 
     def __len__(self):
         return len(self.entries)
@@ -112,7 +116,7 @@ class TrainLoader:
                 do_kb_crop=cfg.do_kb_crop,
                 do_random_rotate=cfg.do_random_rotate,
                 degree=cfg.degree,
-                normalization=cfg.resolved_normalization,
+                normalization=self.normalization,
             )
         return image, depth, np.float32(entry.focal)
 
@@ -174,6 +178,7 @@ class EvalLoader:
             range(shard_index, len(self.entries), num_shards)
         )
         self.batch_size = batch_size or max(cfg.eval_batch_size, 1)
+        self.normalization = cfg.resolved_normalization  # resolved once
 
     def __len__(self):
         return len(self.indices)
@@ -204,7 +209,7 @@ class EvalLoader:
                 gt_path,
                 cfg.dataset,
                 do_kb_crop=cfg.do_kb_crop,
-                normalization=cfg.resolved_normalization,
+                normalization=self.normalization,
             )
             yield {
                 "image": image,

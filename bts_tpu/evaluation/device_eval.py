@@ -145,11 +145,18 @@ def run_batch(
     (sums9, count, mismatched_indices) as host values, or None when the
     whole batch lacks usable gt. Mismatched-shape samples are NOT counted
     here — the caller scores them per-sample (see pack_gt_batch)."""
+    # .shape on a jax array is metadata — no device-to-host transfer.
     gt_raw, eff, mismatched = pack_gt_batch(
         batch["depths"], batch["weight"], dataset,
-        pred_shape=np.asarray(preds).shape[1:3],
+        pred_shape=preds.shape[1:3],
     )
     if gt_raw is None:
         return None
+    if not eff.any():
+        # Nothing the batched kernel can score — skip the device round
+        # trip; mismatched samples (if any) still go to the host path.
+        if not mismatched:
+            return None
+        return np.zeros(9, np.float64), 0.0, mismatched
     sums, count = batch_metrics(preds, gt_raw, eff)
     return np.asarray(sums, np.float64), float(count), mismatched

@@ -84,6 +84,23 @@ def run_online_eval(
 
     def score_host_sample(pred_i, gt):
         """Numpy-protocol scoring of one sample -> (sums9, 0/1)."""
+        pred_sq = np.asarray(pred_i, np.float32).squeeze()
+        gt_sq = np.asarray(gt, np.float32).squeeze()
+        if pred_sq.shape != gt_sq.shape and not (
+            cfg.do_kb_crop and pred_sq.shape == (352, 1216)
+        ):
+            # No defined protocol maps this pred onto this gt (the only
+            # shape-bridging rule is the kb re-embed of a 352x1216 pred,
+            # pytorch/bts_main.py:267-273). Exclude it LOUDLY — the
+            # count in the final report stays exact for scored samples.
+            import warnings
+
+            warnings.warn(
+                f"eval: cannot score sample with pred {pred_sq.shape} vs "
+                f"gt {gt_sq.shape}; excluded from metrics",
+                stacklevel=2,
+            )
+            return np.zeros(9, np.float64), 0
         pred, gt, mask = prepare_pred_gt(
             pred_i,
             gt,

@@ -222,15 +222,17 @@ def average_checkpoints(paths):
     """
     if not paths:
         raise ValueError("average_checkpoints: need at least one path")
+
+    def add(a, b):
+        b = np.asarray(b)
+        if not np.issubdtype(b.dtype, np.floating):
+            # Non-float leaves keep the first checkpoint's value.
+            return b if a is None else a
+        return b.astype(np.float64) if a is None else a + b
+
     acc_params = acc_stats = None
     for path in paths:
         params, stats = load_any_checkpoint(path)
-
-        def add(a, b):
-            if a is None:
-                return np.asarray(b, np.float64)
-            return a + np.asarray(b, np.float64)
-
         if acc_params is None:
             acc_params = jax.tree.map(lambda x: add(None, x), params)
             acc_stats = jax.tree.map(lambda x: add(None, x), stats)
@@ -239,7 +241,13 @@ def average_checkpoints(paths):
             acc_params = jax.tree.map(add, acc_params, params)
             acc_stats = jax.tree.map(add, acc_stats, stats)
     n = float(len(paths))
-    cast = lambda a, t: (a / n).astype(np.asarray(t).dtype)
+
+    def cast(a, t):
+        t = np.asarray(t)
+        if not np.issubdtype(t.dtype, np.floating):
+            return a  # the retained first-checkpoint value
+        return (a / n).astype(t.dtype)
+
     return (
         jax.tree.map(cast, acc_params, tmpl_params),
         jax.tree.map(cast, acc_stats, tmpl_stats),

@@ -48,6 +48,7 @@ class TrainLogger:
 
     def __init__(self, cfg: Config, run_dir: str, enabled: bool):
         self.cfg = cfg
+        self._normalization = cfg.resolved_normalization  # resolved once
         self.enabled = enabled
         self.writer = None
         self.eval_writer = None
@@ -107,8 +108,7 @@ class TrainLogger:
                     step,
                 )
             img = denormalize_image(
-                np.asarray(batch["image"][i]),
-                self.cfg.resolved_normalization,
+                np.asarray(batch["image"][i]), self._normalization
             )
             self.writer.add_image(
                 f"image/image/{i}", np.clip(img, 0, 1).transpose(2, 0, 1), step
@@ -345,148 +345,156 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> int:
         logger.close()
         return rv
 
-    while epoch < cfg.num_epochs:
-        for batch in loader.epoch(epoch):
-            # Profiling window (SURVEY.md §5.1 — TPU-native tracing).
-            if cfg.profile_steps and is_primary:
-                if global_step == 10 and not profiling:
-                    jax.profiler.start_trace(cfg.profile_dir)
-                    profiling = True
-                elif profiling and global_step >= 10 + cfg.profile_steps:
-                    jax.profiler.stop_trace()
-                    profiling = False
-                    print(f"Profiler trace written to {cfg.profile_dir}")
-            t0 = time.time()
-            device_batch = shard_batch(
-                {k: batch[k] for k in ("image", "depth", "focal")},
-                mesh,
-                cfg.mesh_axis_name,
-            )
-            state, metrics = train_step(state, device_batch)
-            global_step += 1
-
-            will_log = (
-                global_step % cfg.log_freq == 0 and not model_just_loaded
-            )
-            this_step = {
-                "gs": global_step,
-                "epoch": epoch,
-                "sie": (global_step - 1) % steps_per_epoch,
-                "lr": host_lr(global_step),
-                "metrics": metrics,
-                "log": will_log,
-                # Keep the batch alive only when panels will be rendered.
-                # Panels render with the CURRENT params when processed, so
-                # with pipeline depth 3 a panel can be up to 3 optimizer
-                # steps newer than its labeled step — acceptable skew.
-                "device_batch": device_batch if will_log else None,
-                "duration": 0.0,
-            }
-
-            pending.append(this_step)
-            pipeline_ok = len(pending) <= pipeline_depth or process_pending(
-                pending.popleft()
-            )
-            # Accumulate wall time AFTER the delayed readback so the logged
-            # examples/s reflects real throughput, not dispatch-only time
-            # (the blocking float(loss) wait is the device-bound majority of
-            # per-step time in the pipelined loop). this_step is safe to
-            # mutate post-append: with depth>=1 it pops on a later iteration.
-            duration += time.time() - t0
-            if will_log:
-                this_step["duration"] = duration
-                duration = 0.0
-            if not pipeline_ok:
-                return finish(-1)
-
-            will_save = (
-                not cfg.do_online_eval
-                and global_step % cfg.save_freq == 0
-                and is_primary
-                and run_dir
-            )
-            will_eval = (
-                cfg.do_online_eval
-                and global_step % cfg.eval_freq == 0
-                and not model_just_loaded
-            )
-            if will_save or will_eval:
-                # These blocks synchronize on the full state anyway; flush
-                # the delayed readbacks first so logs stay in step order.
-                while pending:
-                    if not process_pending(pending.popleft()):
-                        return finish(-1)
-
-            if (
-                not cfg.do_online_eval
-                and global_step % cfg.save_freq == 0
-                and is_primary
-                and run_dir
-            ):
-                ckpt_lib.save_checkpoint(
-                    os.path.join(run_dir, f"model-{global_step}"),
-                    state,
-                    best,
-                    async_save=cfg.async_checkpoint,
+    try:
+        while epoch < cfg.num_epochs:
+            for batch in loader.epoch(epoch):
+                # Profiling window (SURVEY.md §5.1 — TPU-native tracing).
+                if cfg.profile_steps and is_primary:
+                    if global_step == 10 and not profiling:
+                        jax.profiler.start_trace(cfg.profile_dir)
+                        profiling = True
+                    elif profiling and global_step >= 10 + cfg.profile_steps:
+                        jax.profiler.stop_trace()
+                        profiling = False
+                        print(f"Profiler trace written to {cfg.profile_dir}")
+                t0 = time.time()
+                device_batch = shard_batch(
+                    {k: batch[k] for k in ("image", "depth", "focal")},
+                    mesh,
+                    cfg.mesh_axis_name,
                 )
-                ckpt_lib.prune_step_checkpoints(run_dir, cfg.max_to_keep)
+                state, metrics = train_step(state, device_batch)
+                global_step += 1
 
-            if (
-                cfg.do_online_eval
-                and global_step % cfg.eval_freq == 0
-                and not model_just_loaded
-            ):
-                variables = {
-                    "params": state.params,
-                    "batch_stats": state.batch_stats,
+                will_log = (
+                    global_step % cfg.log_freq == 0 and not model_just_loaded
+                )
+                this_step = {
+                    "gs": global_step,
+                    "epoch": epoch,
+                    "sie": (global_step - 1) % steps_per_epoch,
+                    "lr": host_lr(global_step),
+                    "metrics": metrics,
+                    "log": will_log,
+                    # Keep the batch alive only when panels will be rendered.
+                    # Panels render with the CURRENT params when processed, so
+                    # with pipeline depth 3 a panel can be up to 3 optimizer
+                    # steps newer than its labeled step — acceptable skew.
+                    "device_batch": device_batch if will_log else None,
+                    "duration": 0.0,
                 }
-                measures = run_online_eval(
-                    model, variables, cfg, eval_loader, eval_forward
-                )
-                if measures is not None and is_primary:
-                    logger.eval_scalars(global_step, measures)
-                    improved = best.update(measures, global_step)
-                    for mi, old_step, old_val in improved:
-                        metric = EVAL_METRICS[mi]
-                        if run_dir:
-                            ckpt_lib.remove_old_best(
-                                run_dir, old_step, metric, old_val
-                            )
-                            name = ckpt_lib.best_checkpoint_name(
-                                global_step, metric, float(measures[mi])
-                            )
-                            print(f"New best for {metric}. Saving model: {name}")
-                            ckpt_lib.save_checkpoint(
-                                os.path.join(run_dir, name),
-                                state,
-                                best,
-                                async_save=cfg.async_checkpoint,
-                            )
 
-            model_just_loaded = False
-            if preempt_guard.requested:
-                while pending:
-                    if not process_pending(pending.popleft()):
-                        return finish(-1)
-                if is_primary and run_dir:
-                    print(
-                        "Termination signal received; saving checkpoint "
-                        f"model-{global_step} and exiting cleanly."
-                    )
+                pending.append(this_step)
+                pipeline_ok = len(pending) <= pipeline_depth or process_pending(
+                    pending.popleft()
+                )
+                # Accumulate wall time AFTER the delayed readback so the logged
+                # examples/s reflects real throughput, not dispatch-only time
+                # (the blocking float(loss) wait is the device-bound majority of
+                # per-step time in the pipelined loop). this_step is safe to
+                # mutate post-append: with depth>=1 it pops on a later iteration.
+                duration += time.time() - t0
+                if will_log:
+                    this_step["duration"] = duration
+                    duration = 0.0
+                if not pipeline_ok:
+                    return finish(-1)
+
+                will_save = (
+                    not cfg.do_online_eval
+                    and global_step % cfg.save_freq == 0
+                    and is_primary
+                    and run_dir
+                )
+                will_eval = (
+                    cfg.do_online_eval
+                    and global_step % cfg.eval_freq == 0
+                    and not model_just_loaded
+                )
+                if will_save or will_eval:
+                    # These blocks synchronize on the full state anyway; flush
+                    # the delayed readbacks first so logs stay in step order.
+                    while pending:
+                        if not process_pending(pending.popleft()):
+                            return finish(-1)
+
+                if (
+                    not cfg.do_online_eval
+                    and global_step % cfg.save_freq == 0
+                    and is_primary
+                    and run_dir
+                ):
                     ckpt_lib.save_checkpoint(
                         os.path.join(run_dir, f"model-{global_step}"),
                         state,
                         best,
+                        async_save=cfg.async_checkpoint,
                     )
-                return finish(global_step)
-            if max_steps is not None and global_step >= max_steps:
-                while pending:
-                    if not process_pending(pending.popleft()):
-                        return finish(-1)
-                return finish(global_step)
-        epoch += 1
+                    ckpt_lib.prune_step_checkpoints(run_dir, cfg.max_to_keep)
 
-    while pending:
-        if not process_pending(pending.popleft()):
-            return finish(-1)
-    return finish(global_step)
+                if (
+                    cfg.do_online_eval
+                    and global_step % cfg.eval_freq == 0
+                    and not model_just_loaded
+                ):
+                    variables = {
+                        "params": state.params,
+                        "batch_stats": state.batch_stats,
+                    }
+                    measures = run_online_eval(
+                        model, variables, cfg, eval_loader, eval_forward
+                    )
+                    if measures is not None and is_primary:
+                        logger.eval_scalars(global_step, measures)
+                        improved = best.update(measures, global_step)
+                        for mi, old_step, old_val in improved:
+                            metric = EVAL_METRICS[mi]
+                            if run_dir:
+                                ckpt_lib.remove_old_best(
+                                    run_dir, old_step, metric, old_val
+                                )
+                                name = ckpt_lib.best_checkpoint_name(
+                                    global_step, metric, float(measures[mi])
+                                )
+                                print(f"New best for {metric}. Saving model: {name}")
+                                ckpt_lib.save_checkpoint(
+                                    os.path.join(run_dir, name),
+                                    state,
+                                    best,
+                                    async_save=cfg.async_checkpoint,
+                                )
+
+                model_just_loaded = False
+                if preempt_guard.requested:
+                    while pending:
+                        if not process_pending(pending.popleft()):
+                            return finish(-1)
+                    if is_primary and run_dir:
+                        print(
+                            "Termination signal received; saving checkpoint "
+                            f"model-{global_step} and exiting cleanly."
+                        )
+                        ckpt_lib.save_checkpoint(
+                            os.path.join(run_dir, f"model-{global_step}"),
+                            state,
+                            best,
+                        )
+                    return finish(global_step)
+                if max_steps is not None and global_step >= max_steps:
+                    while pending:
+                        if not process_pending(pending.popleft()):
+                            return finish(-1)
+                    return finish(global_step)
+            epoch += 1
+
+        while pending:
+            if not process_pending(pending.popleft()):
+                return finish(-1)
+        return finish(global_step)
+    finally:
+        # Always restore the SIGTERM handler, even when the loop
+        # raises (loader IO error, OOM, ...) — a leaked handler
+        # latching into a dead guard would swallow later SIGTERMs
+        # for the rest of the process. __exit__ is idempotent, so
+        # the finish() path restoring first is fine.
+        preempt_guard.__exit__(None, None, None)

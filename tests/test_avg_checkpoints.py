@@ -44,3 +44,18 @@ def test_avg_checkpoints_cli_roundtrip(tmp_path):
     params, stats = ckpt_lib.load_params_only(out)
     np.testing.assert_allclose(params["encoder"]["w"], 2.0)
     np.testing.assert_allclose(stats["bn"]["mean"], 2.0)
+
+
+def test_average_checkpoints_keeps_non_float_leaves(tmp_path):
+    """Non-float leaves keep the FIRST checkpoint's value (no truncated
+    integer means)."""
+    for name, step in (("model-a", 4500), ("model-b", 5000)):
+        params = {"w": np.full((2,), float(step), np.float32)}
+        stats = {"counter": np.asarray(step, np.int64)}
+        ckpt_lib.save_params_only(str(tmp_path / name), params, stats)
+    params, stats = ckpt_lib.average_checkpoints(
+        [str(tmp_path / "model-a"), str(tmp_path / "model-b")]
+    )
+    np.testing.assert_allclose(params["w"], 4750.0)
+    assert stats["counter"] == 4500  # first checkpoint's, not the mean
+    assert stats["counter"].dtype == np.int64

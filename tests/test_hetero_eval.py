@@ -103,6 +103,58 @@ def test_online_eval_exact_count_mixed_sizes(tmp_path, device_eval):
     assert measures[3] > 0
 
 
+@pytest.mark.parametrize("device_eval", [True, False])
+def test_online_eval_gt_size_mismatch_warns_not_crashes(
+    tmp_path, device_eval
+):
+    """A sample whose GT png size differs from its image has no defined
+    scoring protocol (only the kb re-embed bridges shapes); it must be
+    excluded with a LOUD warning — and the other samples' count stays
+    exact — rather than crashing the whole eval (which during training
+    would kill the run)."""
+    _make_dataset(tmp_path, [(32, 64)] * 4)
+    # Corrupt sample 2's gt: different resolution from its image.
+    rng = np.random.default_rng(1)
+    Image.fromarray(
+        rng.integers(2000, 9000, size=(16, 32), dtype=np.uint16)
+    ).save(tmp_path / "depth_00002.png")
+    cfg = _cfg(tmp_path, device_eval=device_eval)
+
+    def fake_forward(variables, image, focal):
+        return np.full(image.shape[:3], 3.0, np.float32)
+
+    with pytest.warns(UserWarning):
+        measures = run_online_eval(
+            None, None, cfg, forward=fake_forward, verbose=True
+        )
+    assert measures is not None and np.all(np.isfinite(measures))
+    # 3 scoreable samples, identical result on both metric paths.
+    ref_cfg = _cfg(tmp_path, device_eval=not device_eval)
+    with pytest.warns(UserWarning):
+        ref = run_online_eval(
+            None, None, ref_cfg, forward=fake_forward, verbose=False
+        )
+    np.testing.assert_allclose(measures, ref, rtol=1e-5)
+
+
+def test_online_eval_all_missing_gt_batch_skips_device_kernel(tmp_path):
+    """A batch with no usable gt must not run the device kernel (and must
+    not crash): metrics come out of the remaining batches only."""
+    _make_dataset(tmp_path, [(32, 64)] * 4)
+    # Remove gt for the first batch entirely (samples 0 and 1).
+    (tmp_path / "depth_00000.png").unlink()
+    (tmp_path / "depth_00001.png").unlink()
+    cfg = _cfg(tmp_path, device_eval=True)
+
+    def fake_forward(variables, image, focal):
+        return np.full(image.shape[:3], 3.0, np.float32)
+
+    measures = run_online_eval(
+        None, None, cfg, forward=fake_forward, verbose=False
+    )
+    assert measures is not None and np.all(np.isfinite(measures))
+
+
 def test_online_eval_device_matches_numpy_mixed(tmp_path):
     sizes = [(32, 64), (64, 32), (32, 64), (32, 64), (64, 32)]
     _make_dataset(tmp_path, sizes)
