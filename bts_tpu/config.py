@@ -165,26 +165,37 @@ class Config:
 
     @property
     def resolved_normalization(self) -> str:
-        """'imagenet' or 'caffe'; 'auto' sniffs --pretrained_model.
+        """'imagenet', 'caffe' or 'caffe_unscaled'; 'auto' sniffs
+        --pretrained_model.
 
         A TF ImageNet warm start (tensorflow/bts_main.py:228-232) only makes
         sense with the TF pipeline's caffe statistics
         (tensorflow/bts_dataloader.py:148-153) — feeding torchvision-
         normalized inputs to caffe-trained encoder weights silently degrades
         the warm start, so 'auto' selects caffe exactly then.
+
+        The TF reference applies the x0.017 scale ONLY for densenet encoders
+        (tensorflow/bts_dataloader.py:151-153); for every other encoder the
+        caffe convention is mean subtraction alone. A requested 'caffe' on a
+        non-densenet encoder therefore resolves to 'caffe_unscaled'.
         """
-        if self.normalization in ("imagenet", "caffe"):
-            return self.normalization
-        if self.normalization != "auto":
+        if self.normalization == "imagenet":
+            return "imagenet"
+        if self.normalization not in ("caffe", "auto"):
             raise ValueError(
                 f"normalization must be 'imagenet', 'caffe' or 'auto' "
                 f"(got {self.normalization!r})"
             )
+        caffe = (
+            "caffe" if self.encoder.startswith("densenet") else "caffe_unscaled"
+        )
+        if self.normalization == "caffe":
+            return caffe
         if self.pretrained_model:
             from bts_tpu.models.convert_tf import is_tf_checkpoint
 
             if is_tf_checkpoint(self.pretrained_model):
-                return "caffe"
+                return caffe
         return "imagenet"
 
 

@@ -137,6 +137,10 @@ def apply_augment(
 
     if normalization == "caffe":
         image = (image * 255.0 - CAFFE_MEAN) * CAFFE_SCALE
+    elif normalization == "caffe_unscaled":
+        # x0.017 is densenet-only in the TF reference
+        # (tensorflow/bts_dataloader.py:151-153).
+        image = image * 255.0 - CAFFE_MEAN
     else:
         image = (image - IMAGENET_MEAN) / IMAGENET_STD
     return image, depth

@@ -123,6 +123,11 @@ def normalize_image(image: np.ndarray, style: str = "imagenet") -> np.ndarray:
         return (image - IMAGENET_MEAN) / IMAGENET_STD
     if style == "caffe":
         return (image * 255.0 - CAFFE_MEAN) * CAFFE_SCALE
+    if style == "caffe_unscaled":
+        # TF convention for non-densenet encoders: mean subtraction only —
+        # the x0.017 scale is densenet-specific
+        # (tensorflow/bts_dataloader.py:151-153).
+        return image * 255.0 - CAFFE_MEAN
     raise ValueError(style)
 
 
@@ -131,6 +136,8 @@ def denormalize_image(image: np.ndarray, style: str = "imagenet") -> np.ndarray:
         return image * IMAGENET_STD + IMAGENET_MEAN
     if style == "caffe":
         return (image / CAFFE_SCALE + CAFFE_MEAN) / 255.0
+    if style == "caffe_unscaled":
+        return (image + CAFFE_MEAN) / 255.0
     raise ValueError(style)
 
 

@@ -76,8 +76,9 @@ def pack_gt_batch(depths, weights, dataset: str, pred_shape=None):
 
         warnings.warn(
             f"device eval: {len(mismatched)} gt sample(s) with shape != "
-            f"{shape} cannot ride the batched metric kernel; scoring them "
-            "per-sample on the host instead",
+            f"{shape} cannot ride the batched metric kernel; handing them "
+            "to the per-sample host path (scored only if a shape-bridging "
+            "protocol such as the kb-crop re-embed applies)",
             stacklevel=2,
         )
     return np.stack(arrs), np.asarray(eff, np.float32), mismatched

@@ -19,6 +19,7 @@ import shutil
 from typing import Any, Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import orbax.checkpoint as ocp
 
@@ -225,7 +226,9 @@ def average_checkpoints(paths):
 
     def add(a, b):
         b = np.asarray(b)
-        if not np.issubdtype(b.dtype, np.floating):
+        # jnp.issubdtype (not np.) so extension floats (ml_dtypes.bfloat16)
+        # are averaged rather than silently keeping the first checkpoint.
+        if not jnp.issubdtype(b.dtype, jnp.floating):
             # Non-float leaves keep the first checkpoint's value.
             return b if a is None else a
         return b.astype(np.float64) if a is None else a + b
@@ -244,7 +247,7 @@ def average_checkpoints(paths):
 
     def cast(a, t):
         t = np.asarray(t)
-        if not np.issubdtype(t.dtype, np.floating):
+        if not jnp.issubdtype(t.dtype, jnp.floating):
             return a  # the retained first-checkpoint value
         return (a / n).astype(t.dtype)
 

@@ -46,6 +46,22 @@ def test_avg_checkpoints_cli_roundtrip(tmp_path):
     np.testing.assert_allclose(stats["bn"]["mean"], 2.0)
 
 
+def test_average_checkpoints_averages_bfloat16(tmp_path):
+    """Extension floats (ml_dtypes.bfloat16) must be averaged, not silently
+    kept from the first checkpoint (np.issubdtype misses them)."""
+    import jax.numpy as jnp
+
+    for name, value in (("model-a", 1.0), ("model-b", 3.0)):
+        params = {"w": np.asarray(np.full((2,), value), jnp.bfloat16)}
+        stats = {}
+        ckpt_lib.save_params_only(str(tmp_path / name), params, stats)
+    params, _ = ckpt_lib.average_checkpoints(
+        [str(tmp_path / "model-a"), str(tmp_path / "model-b")]
+    )
+    assert params["w"].dtype == jnp.bfloat16
+    np.testing.assert_allclose(params["w"].astype(np.float32), 2.0)
+
+
 def test_average_checkpoints_keeps_non_float_leaves(tmp_path):
     """Non-float leaves keep the FIRST checkpoint's value (no truncated
     integer means)."""

@@ -25,6 +25,22 @@ def test_normalization_default_is_imagenet():
         _ = Config(normalization="nope").resolved_normalization
 
 
+def test_caffe_scale_is_densenet_only():
+    # TF reference: x0.017 applies ONLY to densenet encoders
+    # (tensorflow/bts_dataloader.py:151-153); other encoders get mean
+    # subtraction alone.
+    for enc in ("densenet161_bts", "densenet121_bts"):
+        assert (
+            Config(encoder=enc, normalization="caffe").resolved_normalization
+            == "caffe"
+        )
+    for enc in ("resnet50_bts", "resnet101_bts", "mobilenetv2_bts"):
+        assert (
+            Config(encoder=enc, normalization="caffe").resolved_normalization
+            == "caffe_unscaled"
+        )
+
+
 def test_normalization_auto_selects_caffe_for_tf_checkpoint(tmp_path):
     # A TF checkpoint is '<prefix>.index' + data files (convert_tf sniff).
     prefix = tmp_path / "model"
@@ -46,7 +62,7 @@ def test_normalization_auto_selects_caffe_for_tf_checkpoint(tmp_path):
 def test_normalize_image_styles_roundtrip():
     rng = np.random.default_rng(0)
     img = rng.uniform(0, 1, size=(4, 6, 3)).astype(np.float32)
-    for style in ("imagenet", "caffe"):
+    for style in ("imagenet", "caffe", "caffe_unscaled"):
         normed = transforms.normalize_image(img, style)
         back = transforms.denormalize_image(normed, style)
         np.testing.assert_allclose(back, img, atol=1e-5)
@@ -54,6 +70,11 @@ def test_normalize_image_styles_roundtrip():
     np.testing.assert_allclose(
         transforms.normalize_image(img, "caffe"),
         (img * 255.0 - transforms.CAFFE_MEAN) * transforms.CAFFE_SCALE,
+    )
+    # caffe_unscaled is mean subtraction only (the non-densenet TF path).
+    np.testing.assert_allclose(
+        transforms.normalize_image(img, "caffe_unscaled"),
+        img * 255.0 - transforms.CAFFE_MEAN,
     )
 
 
