@@ -118,11 +118,20 @@ class Config:
     seed: int = 42
     # LPG kernel implementation: auto | xla | pallas | ffi
     lpg_impl: str = "auto"
+    # Which reference twin's graph to build: 'pt' (PyTorch reference,
+    # default), 'tf' (the TF twin, tensorflow/bts.py — decoder conv
+    # biases, theta=pi/6 plane decode, atrous ELU, align-corners guidance
+    # downsample, encoder BN eps 1.1e-5), or 'auto' (a full TF BTS
+    # checkpoint at --checkpoint_path/--pretrained_model selects 'tf').
+    model_flavor: str = "auto"
     # Space-to-depth decoder tail (exact math, big TPU layout win).
     fast_tail: bool = True
     # Run rotation/crop/flip/photometric/normalize fused on-device inside
     # the jitted train step (host only decodes + static-crops).
     device_augment: bool = False
+    # Store Adam first/second moments in bfloat16 (halves optimizer-state
+    # HBM; reference-exact f32 moments when off).
+    adam_bf16_moments: bool = False
     # Use jax.checkpoint (remat) on the encoder to trade FLOPs for HBM.
     remat: bool = False
     # Remat policy when --remat is on: 'conv' saves conv outputs and
@@ -196,7 +205,35 @@ class Config:
 
             if is_tf_checkpoint(self.pretrained_model):
                 return caffe
+        if self.resolved_flavor == "tf":
+            # A full TF BTS checkpoint was trained on the TF pipeline's
+            # caffe statistics (tensorflow/bts_dataloader.py:148-153).
+            return caffe
         return "imagenet"
+
+    @property
+    def resolved_flavor(self) -> str:
+        """'pt' or 'tf'; 'auto' sniffs for a full TF BTS checkpoint at
+        --checkpoint_path or --pretrained_model (the TF zoo's
+        bts_nyu_v2/bts_eigen_v2 models, tensorflow/README.md:89,198)."""
+        if self.model_flavor in ("pt", "tf"):
+            return self.model_flavor
+        if self.model_flavor != "auto":
+            raise ValueError(
+                f"model_flavor must be 'pt', 'tf' or 'auto' "
+                f"(got {self.model_flavor!r})"
+            )
+        for path in (self.checkpoint_path, self.pretrained_model):
+            if not path:
+                continue
+            from bts_tpu.models.convert_tf import (
+                is_full_tf_bts_checkpoint,
+                is_tf_checkpoint,
+            )
+
+            if is_tf_checkpoint(path) and is_full_tf_bts_checkpoint(path):
+                return "tf"
+        return "pt"
 
 
 def _build_parser() -> argparse.ArgumentParser:

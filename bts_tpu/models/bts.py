@@ -54,6 +54,11 @@ class BTSModel(nn.Module):
     # decoder activations alone exceed HBM.
     remat_scope: str = "encoder"
     fast_tail: bool = True
+    # 'pt' (default) | 'tf': which reference twin's graph to reproduce.
+    # 'tf' (tensorflow/bts.py) is for TF-zoo checkpoints: decoder conv
+    # biases, theta_max=pi/6, atrous ELU, align-corners guidance
+    # downsample, encoder BN eps 1.1e-5. See BTSDecoder.flavor.
+    flavor: str = "pt"
 
     @nn.compact
     def __call__(self, x, focal, train: bool = False):
@@ -64,6 +69,14 @@ class BTSModel(nn.Module):
             for k in template.__dataclass_fields__
             if k not in ("parent", "name")
         }
+        if self.flavor == "tf":
+            if "bn_eps" not in kwargs:
+                raise ValueError(
+                    "flavor='tf' supports densenet encoders only — the TF "
+                    "reference zoo ships densenet121/161 checkpoints "
+                    "(tensorflow/bts.py:398-430)"
+                )
+            kwargs["bn_eps"] = 1.1e-5  # tensorflow/bts.py:189-193
         enc_cls = type(template)
         if self.remat:
             # Rematerialize encoder activations in the backward pass to trade
@@ -88,6 +101,7 @@ class BTSModel(nn.Module):
             lpg_impl=self.lpg_impl,
             dtype=self.dtype,
             fast_tail=self.fast_tail,
+            flavor=self.flavor,
             name="decoder",
         )(skips, focal, train)
 
@@ -118,6 +132,7 @@ def create_model(cfg) -> BTSModel:
         remat_policy=cfg.remat_policy,
         remat_scope=getattr(cfg, "remat_scope", "encoder"),
         fast_tail=cfg.fast_tail,
+        flavor=getattr(cfg, "resolved_flavor", "pt"),
     )
 
 

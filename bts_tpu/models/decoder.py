@@ -20,6 +20,7 @@ from bts_tpu.models.layers import (
     DECODER_BN_EPS,
     SplitConv,
     TORCH_BN_MOMENTUM_DECODER,
+    downsample_nearest_ac,
     upsample_nearest,
 )
 from bts_tpu.ops.lpg import (
@@ -51,6 +52,7 @@ class UpConv(nn.Module):
     ratio: int = 2
     dtype: Dtype = jnp.float32
     fused: bool = True
+    use_bias: bool = False  # TF-flavor decoder convs carry biases
 
     @nn.compact
     def __call__(self, x):
@@ -59,6 +61,7 @@ class UpConv(nn.Module):
             ratio=self.ratio,
             fused=self.fused and self.ratio == 2,
             dtype=self.dtype,
+            use_bias=self.use_bias,
             name="conv",
         )
         return nn.elu(inner(x))
@@ -71,6 +74,7 @@ class _UpConvInner(nn.Module):
     ratio: int
     fused: bool
     dtype: Dtype
+    use_bias: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -81,6 +85,13 @@ class _UpConvInner(nn.Module):
             (3, 3, cin, self.features),
             jnp.float32,
         ).astype(self.dtype)
+        bias = (
+            self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            ).astype(self.dtype)
+            if self.use_bias
+            else None
+        )
         precision = (
             jax.lax.Precision.HIGHEST
             if jnp.dtype(self.dtype) == jnp.float32
@@ -88,7 +99,7 @@ class _UpConvInner(nn.Module):
         )
         if not self.fused:
             x = upsample_nearest(x, self.ratio)
-            return jax.lax.conv_general_dilated(
+            out = jax.lax.conv_general_dilated(
                 x.astype(self.dtype),
                 kernel,
                 window_strides=(1, 1),
@@ -96,12 +107,13 @@ class _UpConvInner(nn.Module):
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 precision=precision,
             )
+            return out if bias is None else out + bias
         # Composite 4x4 kernel: sum of the 2x2 nearest-up shifts of k.
         c = jnp.zeros((4, 4, cin, self.features), self.dtype)
         for a in (0, 1):
             for b in (0, 1):
                 c = c.at[a : a + 3, b : b + 3].add(kernel)
-        return jax.lax.conv_general_dilated(
+        out = jax.lax.conv_general_dilated(
             x.astype(self.dtype),
             c,
             window_strides=(1, 1),
@@ -110,6 +122,7 @@ class _UpConvInner(nn.Module):
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             precision=precision,
         )
+        return out if bias is None else out + bias
 
 
 class AtrousConv(nn.Module):
@@ -117,12 +130,18 @@ class AtrousConv(nn.Module):
 
     Reference: pytorch/bts.py:51-66. First BN eps=1.1e-5; inner BN uses the
     torch default eps=1e-5 (both momentum 0.01).
+
+    tf_variant reproduces the TF twin (tensorflow/bts.py:84-100 built under
+    the decoder arg_scope at :346-349,404-405): convs carry biases, the 1x1
+    conv gets the arg-scope ELU before the inner BN, and the inner BN uses
+    eps=1.1e-5 (the decoder-wide batch_norm_params).
     """
 
     features: int
     dilation: int
     apply_bn_first: bool = True
     dtype: Dtype = jnp.float32
+    tf_variant: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -134,10 +153,18 @@ class AtrousConv(nn.Module):
                 name="first_bn",
             )(x, train=train)
         x = nn.relu(x)
-        x = Conv(self.features * 2, (1, 1), dtype=self.dtype, name="conv1")(x)
+        x = Conv(
+            self.features * 2,
+            (1, 1),
+            use_bias=self.tf_variant,
+            dtype=self.dtype,
+            name="conv1",
+        )(x)
+        if self.tf_variant:
+            x = nn.elu(x)
         x = BatchNorm(
             torch_momentum=TORCH_BN_MOMENTUM_DECODER,
-            epsilon=1e-5,
+            epsilon=DECODER_BN_EPS if self.tf_variant else 1e-5,
             dtype=self.dtype,
             name="bn2",
         )(x, train=train)
@@ -147,6 +174,7 @@ class AtrousConv(nn.Module):
             (3, 3),
             padding=self.dilation,
             dilation=self.dilation,
+            use_bias=self.tf_variant,
             dtype=self.dtype,
             name="conv2",
         )(x)
@@ -157,12 +185,19 @@ class Reduction1x1(nn.Module):
     """Chain of 1x1 convs halving channels to <8, ending in a 1-channel
     sigmoid head (final) or a 3-channel plane-parameter head decoded to a
     unit plane equation (pytorch/bts.py:83-122).
+
+    theta_max selects the plane-decode convention: pi/3 (PT, default) or
+    pi/6 (TF twin, tensorflow/bts.py:152). use_bias gives every conv a
+    bias, matching the TF decoder's slim convs (tensorflow/bts.py:145-166
+    under the arg scope at :346-349).
     """
 
     num_out_filters: int
     max_depth: float
     is_final: bool = False
     dtype: Dtype = jnp.float32
+    theta_max: float = float(jnp.pi / 3)
+    use_bias: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -171,13 +206,22 @@ class Reduction1x1(nn.Module):
         while num_out >= 4:
             if num_out < 8:
                 if self.is_final:
-                    x = Conv(1, (1, 1), dtype=self.dtype, name="final")(x)
+                    x = Conv(
+                        1, (1, 1), use_bias=self.use_bias,
+                        dtype=self.dtype, name="final",
+                    )(x)
                     return jax.nn.sigmoid(x)
-                x = Conv(3, (1, 1), dtype=self.dtype, name="plane_params")(x)
+                x = Conv(
+                    3, (1, 1), use_bias=self.use_bias,
+                    dtype=self.dtype, name="plane_params",
+                )(x)
                 return decode_plane_eq(
-                    x.astype(jnp.float32), self.max_depth
+                    x.astype(jnp.float32), self.max_depth, self.theta_max
                 )
-            x = Conv(num_out, (1, 1), dtype=self.dtype, name=f"inter_{i}")(x)
+            x = Conv(
+                num_out, (1, 1), use_bias=self.use_bias,
+                dtype=self.dtype, name=f"inter_{i}",
+            )(x)
             x = nn.elu(x)
             num_out //= 2
             i += 1
@@ -331,11 +375,23 @@ class BTSDecoder(nn.Module):
     dtype: Dtype = jnp.float32
     # Space-to-depth tail: exact-math TPU layout optimization (_fast_tail).
     fast_tail: bool = True
+    # 'pt' (default): the PyTorch reference's decoder (pytorch/bts.py).
+    # 'tf': the TF twin (tensorflow/bts.py:237-345) — convs carry biases,
+    # the atrous 1x1 gets an arg-scope ELU, theta_max = pi/6, the final
+    # reduc1x1 chain starts one halving earlier (TF passes the full width,
+    # tensorflow/bts.py:316), and the LPG guidance maps are downsampled on
+    # the align_corners grid. Used for TF-zoo checkpoints
+    # (models/convert_tf.convert_full_tf). Runs the plain tail (the s2d
+    # fast tail is derived for the bias-free PT form).
+    flavor: str = "pt"
 
     @nn.compact
     def __call__(self, features: Sequence[jax.Array], focal, train: bool = False):
         nf = self.num_features
         dt = self.dtype
+        tf_mode = self.flavor == "tf"
+        bias = tf_mode
+        theta_max = float(jnp.pi / 6) if tf_mode else float(jnp.pi / 3)
         skip0, skip1, skip2, skip3 = features[0], features[1], features[2], features[3]
         dense_features = nn.relu(features[4])
 
@@ -347,116 +403,190 @@ class BTSDecoder(nn.Module):
                 name=name,
             )
 
+        def reduc(num_out, is_final=False, name=None):
+            return Reduction1x1(
+                num_out,
+                self.max_depth,
+                is_final=is_final,
+                dtype=dt,
+                theta_max=theta_max,
+                use_bias=bias,
+                name=name,
+            )
+
         # H/16
-        upconv5 = UpConv(nf, dtype=dt, name="upconv5")(dense_features)
+        upconv5 = UpConv(nf, dtype=dt, use_bias=bias, name="upconv5")(dense_features)
         upconv5 = bn("bn5")(upconv5, train=train)
         concat5 = jnp.concatenate([upconv5, skip3], axis=-1)
-        iconv5 = nn.elu(Conv(nf, (3, 3), padding=1, dtype=dt, name="conv5")(concat5))
+        iconv5 = nn.elu(
+            Conv(nf, (3, 3), padding=1, use_bias=bias, dtype=dt, name="conv5")(concat5)
+        )
 
         # H/8
-        upconv4 = UpConv(nf // 2, dtype=dt, name="upconv4")(iconv5)
+        upconv4 = UpConv(nf // 2, dtype=dt, use_bias=bias, name="upconv4")(iconv5)
         upconv4 = bn("bn4")(upconv4, train=train)
         concat4 = jnp.concatenate([upconv4, skip2], axis=-1)
-        iconv4 = nn.elu(Conv(nf // 2, (3, 3), padding=1, dtype=dt, name="conv4")(concat4))
+        iconv4 = nn.elu(
+            Conv(nf // 2, (3, 3), padding=1, use_bias=bias, dtype=dt, name="conv4")(concat4)
+        )
         iconv4 = bn("bn4_2")(iconv4, train=train)
 
         # Dense-ASPP cascade (rates 3/6/12/18/24), each atrous conv consuming
         # the concat of everything before it (pytorch/bts.py:210-220).
-        daspp_3 = AtrousConv(nf // 4, 3, apply_bn_first=False, dtype=dt, name="daspp_3")(
-            iconv4, train=train
-        )
+        daspp_3 = AtrousConv(
+            nf // 4, 3, apply_bn_first=False, dtype=dt, tf_variant=tf_mode, name="daspp_3"
+        )(iconv4, train=train)
         concat4_2 = jnp.concatenate([concat4, daspp_3], axis=-1)
-        daspp_6 = AtrousConv(nf // 4, 6, dtype=dt, name="daspp_6")(concat4_2, train=train)
+        daspp_6 = AtrousConv(nf // 4, 6, dtype=dt, tf_variant=tf_mode, name="daspp_6")(
+            concat4_2, train=train
+        )
         concat4_3 = jnp.concatenate([concat4_2, daspp_6], axis=-1)
-        daspp_12 = AtrousConv(nf // 4, 12, dtype=dt, name="daspp_12")(concat4_3, train=train)
+        daspp_12 = AtrousConv(nf // 4, 12, dtype=dt, tf_variant=tf_mode, name="daspp_12")(
+            concat4_3, train=train
+        )
         concat4_4 = jnp.concatenate([concat4_3, daspp_12], axis=-1)
-        daspp_18 = AtrousConv(nf // 4, 18, dtype=dt, name="daspp_18")(concat4_4, train=train)
+        daspp_18 = AtrousConv(nf // 4, 18, dtype=dt, tf_variant=tf_mode, name="daspp_18")(
+            concat4_4, train=train
+        )
         concat4_5 = jnp.concatenate([concat4_4, daspp_18], axis=-1)
-        daspp_24 = AtrousConv(nf // 4, 24, dtype=dt, name="daspp_24")(concat4_5, train=train)
+        daspp_24 = AtrousConv(nf // 4, 24, dtype=dt, tf_variant=tf_mode, name="daspp_24")(
+            concat4_5, train=train
+        )
         concat4_daspp = jnp.concatenate(
             [iconv4, daspp_3, daspp_6, daspp_12, daspp_18, daspp_24], axis=-1
         )
         daspp_feat = nn.elu(
-            Conv(nf // 4, (3, 3), padding=1, dtype=dt, name="daspp_conv")(concat4_daspp)
+            Conv(
+                nf // 4, (3, 3), padding=1, use_bias=bias, dtype=dt, name="daspp_conv"
+            )(concat4_daspp)
         )
 
         # 8x8 plane head + LPG (full resolution)
         # LPG plane decode stays f32 (trig on low-res tensors, cheap); the
         # full-res depth maps are produced directly in the compute dtype so
         # no conversion copies materialize at 128-lane-padded C=1 layouts.
-        plane_eq_8x8 = Reduction1x1(
-            nf // 4, self.max_depth, dtype=dt, name="reduc8x8"
-        )(daspp_feat)
+        plane_eq_8x8 = reduc(nf // 4, name="reduc8x8")(daspp_feat)
         plane_eq_8x8 = normalize_plane(plane_eq_8x8)
-        # The downsampled guidance map is sampled directly from the plane
-        # equation (== nearest-downsample of the full-res LPG map) so the
-        # full-resolution map need not exist at this point.
-        depth_8x8_scaled_ds = (
-            lpg_expand(plane_eq_8x8, 8, e=2, base=0, step=4) / self.max_depth
-        ).astype(dt)[..., None]
+        if tf_mode:
+            # TF downsamples the materialized full-res map on the
+            # align_corners grid (tensorflow/bts.py:66-73,281).
+            depth_8x8 = local_planar_guidance(plane_eq_8x8, 8, impl=self.lpg_impl)
+            depth_8x8_scaled = (depth_8x8 / self.max_depth).astype(dt)[..., None]
+            depth_8x8_scaled_ds = downsample_nearest_ac(depth_8x8_scaled, 4)
+        else:
+            # The downsampled guidance map is sampled directly from the plane
+            # equation (== nearest-downsample of the full-res LPG map) so the
+            # full-resolution map need not exist at this point.
+            depth_8x8_scaled = None
+            depth_8x8_scaled_ds = (
+                lpg_expand(plane_eq_8x8, 8, e=2, base=0, step=4) / self.max_depth
+            ).astype(dt)[..., None]
 
         # H/4
-        upconv3 = UpConv(nf // 4, dtype=dt, name="upconv3")(daspp_feat)
+        upconv3 = UpConv(nf // 4, dtype=dt, use_bias=bias, name="upconv3")(daspp_feat)
         upconv3 = bn("bn3")(upconv3, train=train)
-        iconv3 = nn.elu(
-            SplitConv(nf // 4, (3, 3), padding=1, dtype=dt, name="conv3")(
-                [upconv3, skip1, depth_8x8_scaled_ds.astype(dt)]
+        if tf_mode:
+            iconv3 = nn.elu(
+                Conv(nf // 4, (3, 3), padding=1, use_bias=True, dtype=dt, name="conv3")(
+                    jnp.concatenate(
+                        [upconv3, skip1, depth_8x8_scaled_ds.astype(dt)], axis=-1
+                    )
+                )
             )
-        )
+        else:
+            iconv3 = nn.elu(
+                SplitConv(nf // 4, (3, 3), padding=1, dtype=dt, name="conv3")(
+                    [upconv3, skip1, depth_8x8_scaled_ds.astype(dt)]
+                )
+            )
 
-        plane_eq_4x4 = Reduction1x1(
-            nf // 8, self.max_depth, dtype=dt, name="reduc4x4"
-        )(iconv3)
+        plane_eq_4x4 = reduc(nf // 8, name="reduc4x4")(iconv3)
         plane_eq_4x4 = normalize_plane(plane_eq_4x4)
-        depth_4x4_scaled_ds = (
-            lpg_expand(plane_eq_4x4, 4, e=2, base=0, step=2) / self.max_depth
-        ).astype(dt)[..., None]
+        if tf_mode:
+            depth_4x4 = local_planar_guidance(plane_eq_4x4, 4, impl=self.lpg_impl)
+            depth_4x4_scaled = (depth_4x4 / self.max_depth).astype(dt)[..., None]
+            depth_4x4_scaled_ds = downsample_nearest_ac(depth_4x4_scaled, 2)
+        else:
+            depth_4x4_scaled = None
+            depth_4x4_scaled_ds = (
+                lpg_expand(plane_eq_4x4, 4, e=2, base=0, step=2) / self.max_depth
+            ).astype(dt)[..., None]
 
         # H/2
-        upconv2 = UpConv(nf // 8, dtype=dt, name="upconv2")(iconv3)
+        upconv2 = UpConv(nf // 8, dtype=dt, use_bias=bias, name="upconv2")(iconv3)
         upconv2 = bn("bn2")(upconv2, train=train)
-        iconv2 = nn.elu(
-            SplitConv(nf // 8, (3, 3), padding=1, dtype=dt, name="conv2")(
-                [upconv2, skip0, depth_4x4_scaled_ds.astype(dt)]
+        if tf_mode:
+            iconv2 = nn.elu(
+                Conv(nf // 8, (3, 3), padding=1, use_bias=True, dtype=dt, name="conv2")(
+                    jnp.concatenate(
+                        [upconv2, skip0, depth_4x4_scaled_ds.astype(dt)], axis=-1
+                    )
+                )
             )
-        )
+        else:
+            iconv2 = nn.elu(
+                SplitConv(nf // 8, (3, 3), padding=1, dtype=dt, name="conv2")(
+                    [upconv2, skip0, depth_4x4_scaled_ds.astype(dt)]
+                )
+            )
 
-        plane_eq_2x2 = Reduction1x1(
-            nf // 16, self.max_depth, dtype=dt, name="reduc2x2"
-        )(iconv2)
+        plane_eq_2x2 = reduc(nf // 16, name="reduc2x2")(iconv2)
         plane_eq_2x2 = normalize_plane(plane_eq_2x2)
 
         # ---- Full-resolution tail ----
-        if self.fast_tail:
+        if self.fast_tail and not tf_mode:
             return self._fast_tail(
                 iconv2, plane_eq_2x2, plane_eq_4x4, plane_eq_8x8, focal
             )
 
-        depth_8x8 = local_planar_guidance(plane_eq_8x8, 8, impl=self.lpg_impl)
-        depth_8x8_scaled = (depth_8x8 / self.max_depth).astype(dt)[..., None]
-        depth_4x4 = local_planar_guidance(plane_eq_4x4, 4, impl=self.lpg_impl)
-        depth_4x4_scaled = (depth_4x4 / self.max_depth).astype(dt)[..., None]
+        if depth_8x8_scaled is None:
+            depth_8x8 = local_planar_guidance(plane_eq_8x8, 8, impl=self.lpg_impl)
+            depth_8x8_scaled = (depth_8x8 / self.max_depth).astype(dt)[..., None]
+        if depth_4x4_scaled is None:
+            depth_4x4 = local_planar_guidance(plane_eq_4x4, 4, impl=self.lpg_impl)
+            depth_4x4_scaled = (depth_4x4 / self.max_depth).astype(dt)[..., None]
         depth_2x2 = local_planar_guidance(plane_eq_2x2, 2, impl=self.lpg_impl)
         depth_2x2_scaled = (depth_2x2 / self.max_depth).astype(dt)[..., None]
 
-        upconv1 = UpConv(nf // 16, dtype=dt, name="upconv1")(iconv2)
-        reduc1x1 = Reduction1x1(
-            nf // 32, self.max_depth, is_final=True, dtype=dt, name="reduc1x1"
+        upconv1 = UpConv(nf // 16, dtype=dt, use_bias=bias, name="upconv1")(iconv2)
+        # TF passes the full current width into the final reduction
+        # (tensorflow/bts.py:316), giving one extra leading conv vs PT's
+        # nf//32 start (pytorch/bts.py:190).
+        reduc1x1 = reduc(
+            nf // 16 if tf_mode else nf // 32, is_final=True, name="reduc1x1"
         )(upconv1)
-        # SplitConv == Conv(concat(...)) exactly, without materializing the
-        # lane-padded C=1 concat (see layers.SplitConv docstring).
-        iconv1 = nn.elu(
-            SplitConv(nf // 16, (3, 3), padding=1, dtype=dt, name="conv1")(
-                [
-                    upconv1,
-                    reduc1x1.astype(dt),
-                    depth_2x2_scaled,
-                    depth_4x4_scaled,
-                    depth_8x8_scaled,
-                ]
+        if tf_mode:
+            iconv1 = nn.elu(
+                Conv(nf // 16, (3, 3), padding=1, use_bias=True, dtype=dt, name="conv1")(
+                    jnp.concatenate(
+                        [
+                            upconv1,
+                            reduc1x1.astype(dt),
+                            depth_2x2_scaled,
+                            depth_4x4_scaled,
+                            depth_8x8_scaled,
+                        ],
+                        axis=-1,
+                    )
+                )
             )
-        )
-        depth_logits = Conv(1, (3, 3), padding=1, dtype=dt, name="get_depth")(iconv1)
+        else:
+            # SplitConv == Conv(concat(...)) exactly, without materializing
+            # the lane-padded C=1 concat (see layers.SplitConv docstring).
+            iconv1 = nn.elu(
+                SplitConv(nf // 16, (3, 3), padding=1, dtype=dt, name="conv1")(
+                    [
+                        upconv1,
+                        reduc1x1.astype(dt),
+                        depth_2x2_scaled,
+                        depth_4x4_scaled,
+                        depth_8x8_scaled,
+                    ]
+                )
+            )
+        depth_logits = Conv(
+            1, (3, 3), padding=1, use_bias=bias, dtype=dt, name="get_depth"
+        )(iconv1)
         final_depth = self.max_depth * jax.nn.sigmoid(
             depth_logits.astype(jnp.float32)
         )

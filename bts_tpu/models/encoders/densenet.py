@@ -72,12 +72,14 @@ class DenseLayer(nn.Module):
 
     growth_rate: int
     dtype: Dtype = jnp.float32
+    # TF-flavor graphs use eps=1.1e-5 encoder-wide (tensorflow/bts.py:189).
+    bn_eps: float = 1e-5
 
     @nn.compact
     def __call__(self, parts, train: bool = False):
         total_in = sum(p.shape[-1] for p in parts)
         if len(parts) == 1:
-            y = BatchNorm(dtype=self.dtype, name="norm1")(
+            y = BatchNorm(epsilon=self.bn_eps, dtype=self.dtype, name="norm1")(
                 parts[0], train=train
             )
             y = nn.relu(y)
@@ -85,9 +87,9 @@ class DenseLayer(nn.Module):
                 4 * self.growth_rate, (1, 1), dtype=self.dtype, name="conv1"
             )(y)
         else:
-            ys = VirtualBatchNorm(total_in, dtype=self.dtype, name="norm1")(
-                parts, train=train
-            )
+            ys = VirtualBatchNorm(
+                total_in, epsilon=self.bn_eps, dtype=self.dtype, name="norm1"
+            )(parts, train=train)
             y = SplitConv(
                 4 * self.growth_rate,
                 (1, 1),
@@ -95,7 +97,9 @@ class DenseLayer(nn.Module):
                 dtype=self.dtype,
                 name="conv1",
             )([nn.relu(p) for p in ys])
-        y = BatchNorm(dtype=self.dtype, name="norm2")(y, train=train)
+        y = BatchNorm(epsilon=self.bn_eps, dtype=self.dtype, name="norm2")(
+            y, train=train
+        )
         y = nn.relu(y)
         y = Conv(
             self.growth_rate, (3, 3), padding=1, dtype=self.dtype, name="conv2"
@@ -107,6 +111,7 @@ class DenseBlock(nn.Module):
     num_layers: int
     growth_rate: int
     dtype: Dtype = jnp.float32
+    bn_eps: float = 1e-5
     split: bool = False
     # 'buffer': carry the growing concatenation as ONE preallocated
     # (B, H, W, C_final) buffer — each layer reads the channel prefix and
@@ -130,6 +135,7 @@ class DenseBlock(nn.Module):
                 new = DenseLayer(
                     self.growth_rate,
                     dtype=self.dtype,
+                    bn_eps=self.bn_eps,
                     name=f"denselayer{i + 1}",
                 )([prefix], train=train)
                 buf = jax.lax.dynamic_update_slice(
@@ -141,7 +147,10 @@ class DenseBlock(nn.Module):
         tail = 0
         for i in range(self.num_layers):
             new = DenseLayer(
-                self.growth_rate, dtype=self.dtype, name=f"denselayer{i + 1}"
+                self.growth_rate,
+                dtype=self.dtype,
+                bn_eps=self.bn_eps,
+                name=f"denselayer{i + 1}",
             )(parts, train=train)
             if self.split:
                 parts.append(new)
@@ -162,21 +171,24 @@ class Transition(nn.Module):
 
     out_features: int
     dtype: Dtype = jnp.float32
+    bn_eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         parts = x if isinstance(x, (list, tuple)) else [x]
         total_in = sum(p.shape[-1] for p in parts)
         if len(parts) == 1:
-            y = BatchNorm(dtype=self.dtype, name="norm")(parts[0], train=train)
+            y = BatchNorm(epsilon=self.bn_eps, dtype=self.dtype, name="norm")(
+                parts[0], train=train
+            )
             y = nn.relu(y)
             y = Conv(self.out_features, (1, 1), dtype=self.dtype, name="conv")(
                 y
             )
         else:
-            ys = VirtualBatchNorm(total_in, dtype=self.dtype, name="norm")(
-                parts, train=train
-            )
+            ys = VirtualBatchNorm(
+                total_in, epsilon=self.bn_eps, dtype=self.dtype, name="norm"
+            )(parts, train=train)
             y = SplitConv(
                 self.out_features,
                 (1, 1),
@@ -199,6 +211,9 @@ class DenseNetEncoder(nn.Module):
     growth_rate: int
     num_init_features: int
     dtype: Dtype = jnp.float32
+    # TF-flavor slim graphs build every encoder BN with eps=1.1e-5
+    # (tensorflow/bts.py:189-193); torchvision uses 1e-5 (default).
+    bn_eps: float = 1e-5
     split: Any = "auto"
 
     @nn.compact
@@ -227,7 +242,9 @@ class DenseNetEncoder(nn.Module):
             dtype=self.dtype,
             name="conv0",
         )(x)
-        x = BatchNorm(dtype=self.dtype, name="norm0")(x, train=train)
+        x = BatchNorm(epsilon=self.bn_eps, dtype=self.dtype, name="norm0")(
+            x, train=train
+        )
         x = nn.relu(x)
         skips.append(x)  # 'relu0' — H/2
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
@@ -240,6 +257,7 @@ class DenseNetEncoder(nn.Module):
                 num_layers,
                 self.growth_rate,
                 dtype=self.dtype,
+                bn_eps=self.bn_eps,
                 split=do_split,
                 # Shallow blocks (where split loses) still drop the
                 # growing-concat rewrites via the in-place dus buffer.
@@ -250,7 +268,10 @@ class DenseNetEncoder(nn.Module):
             if i != len(self.block_config) - 1:
                 num_features //= 2
                 x = Transition(
-                    num_features, dtype=self.dtype, name=f"transition{i + 1}"
+                    num_features,
+                    dtype=self.dtype,
+                    bn_eps=self.bn_eps,
+                    name=f"transition{i + 1}",
                 )(x, train=train)
                 if i < 2:
                     skips.append(x)  # 'transition1' H/8, 'transition2' H/16
@@ -259,12 +280,17 @@ class DenseNetEncoder(nn.Module):
         if isinstance(x, list):
             x = jnp.concatenate(
                 VirtualBatchNorm(
-                    sum(p.shape[-1] for p in x), dtype=self.dtype, name="norm5"
+                    sum(p.shape[-1] for p in x),
+                    epsilon=self.bn_eps,
+                    dtype=self.dtype,
+                    name="norm5",
                 )(x, train=train),
                 axis=-1,
             )
         else:
-            x = BatchNorm(dtype=self.dtype, name="norm5")(x, train=train)
+            x = BatchNorm(epsilon=self.bn_eps, dtype=self.dtype, name="norm5")(
+                x, train=train
+            )
         skips.append(x)
         return skips
 

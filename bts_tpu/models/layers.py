@@ -240,7 +240,12 @@ class _ShiftDepthwiseConv(nn.Module):
 
 
 class BatchNorm(nn.Module):
-    """torch-semantics BatchNorm2d (affine, running stats)."""
+    """torch-semantics BatchNorm2d (affine, running stats).
+
+    Shares the stats/normalization math with VirtualBatchNorm (one-part
+    call), so both paths carry torch's exact running-update semantics —
+    in particular the Bessel-corrected running variance (see
+    _VirtualBNInner)."""
 
     torch_momentum: float = TORCH_BN_MOMENTUM_ENCODER
     epsilon: float = ENCODER_BN_EPS
@@ -248,13 +253,13 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        return nn.BatchNorm(
-            use_running_average=not train,
-            momentum=1.0 - self.torch_momentum,
-            epsilon=self.epsilon,
-            dtype=self.dtype,
+        return _VirtualBNInner(
+            x.shape[-1],
+            1.0 - self.torch_momentum,
+            self.epsilon,
+            self.dtype,
             name="bn",
-        )(x)
+        )([x], train=train)[0]
 
 
 class _VirtualBNInner(nn.Module):
@@ -262,9 +267,13 @@ class _VirtualBNInner(nn.Module):
 
     Same param/stat tree as nn.BatchNorm (scale/bias + mean/var, each
     (C_total,) f32); each part is normalized with its channel slice. The
-    stats math mirrors flax nn.BatchNorm exactly: f32 statistics, biased
-    variance via mean-of-squares, running update ra = m*ra + (1-m)*batch,
-    and normalization arithmetic performed in the compute dtype.
+    stats math follows flax nn.BatchNorm (f32 statistics, biased variance
+    via mean-of-squares, running update ra = m*ra + (1-m)*batch, and
+    normalization arithmetic performed in the compute dtype) with ONE
+    torch-parity deviation: the running-variance update uses the
+    Bessel-corrected (unbiased) batch variance, exactly as
+    torch.nn.BatchNorm2d does (normalization itself stays biased, also
+    as torch does). Pinned by tests/test_train_parity.py.
     """
 
     features: int
@@ -301,11 +310,18 @@ class _VirtualBNInner(nn.Module):
             mean = jnp.concatenate(means)
             var = jnp.concatenate(variances)
             if not self.is_initializing():
+                # n is per-channel sample count; channel concat => all parts
+                # share (B, H, W), so one static factor serves every slice.
+                n = (
+                    parts[0].shape[0] * parts[0].shape[1] * parts[0].shape[2]
+                )
+                bessel = float(n) / float(n - 1) if n > 1 else 1.0
                 ra_mean.value = (
                     self.momentum * ra_mean.value + (1.0 - self.momentum) * mean
                 )
                 ra_var.value = (
-                    self.momentum * ra_var.value + (1.0 - self.momentum) * var
+                    self.momentum * ra_var.value
+                    + (1.0 - self.momentum) * var * bessel
                 )
         else:
             mean, var = ra_mean.value, ra_var.value
@@ -449,3 +465,35 @@ def downsample_nearest(x, inv_scale: int):
     integer k (pytorch/bts.py:229,243): out[i] = in[floor(i * k)] = in[::k].
     """
     return x[:, ::inv_scale, ::inv_scale, :]
+
+
+def _align_corners_indices(n_in: int, n_out: int):
+    """TF1 resize_nearest_neighbor(align_corners=True) source indices:
+    src_i = round(i * (n_in - 1) / (n_out - 1)) (legacy TF kernel)."""
+    import numpy as np
+
+    if n_out == 1:
+        return np.zeros(1, np.int32)
+    scale = (n_in - 1) / (n_out - 1)
+    return np.floor(np.arange(n_out) * scale + 0.5).astype(np.int32)
+
+
+def downsample_nearest_ac(x, inv_scale: int):
+    """TF-graph nearest downsample (align_corners=True), NHWC.
+
+    The TF reference decoder downsamples the scaled LPG maps with
+    tf.image.resize_nearest_neighbor(..., align_corners=True)
+    (tensorflow/bts.py:66-73,281,296) whose source grid differs from the
+    uniform stride the PT reference uses — e.g. 16->4 picks rows
+    [0, 5, 10, 15] instead of [0, 4, 8, 12]. Static gather (indices are
+    trace-time numpy).
+
+    Note the matching UPSAMPLE needs no twin: for exact 2x,
+    align_corners=True nearest is element-for-element equal to the plain
+    2x repeat (proved in tests/test_tf_flavor.py against the TF compat op),
+    so upsample_nearest serves both flavors.
+    """
+    b, h, w, c = x.shape
+    ih = _align_corners_indices(h, h // inv_scale)
+    iw = _align_corners_indices(w, w // inv_scale)
+    return x[:, ih][:, :, iw]

@@ -214,15 +214,18 @@ def normalize_plane(plane: jax.Array, eps: float = 1e-12) -> jax.Array:
     return jnp.concatenate([normal / norm, plane[..., 3:]], axis=-1)
 
 
-def decode_plane_eq(raw: jax.Array, max_depth: float) -> jax.Array:
+def decode_plane_eq(
+    raw: jax.Array, max_depth: float, theta_max: float = jnp.pi / 3
+) -> jax.Array:
     """Decode a raw 3-channel head output into a unit plane equation.
 
     Reference: pytorch/bts.py:110-122 (theta = sigmoid(x0) * pi/3 — the PT
-    convention; the TF twin uses pi/6 at tensorflow/bts.py:152, we follow PT
-    because the model zoo weights are PT). phi = sigmoid(x1) * 2*pi,
+    convention and the default here). The TF twin uses pi/6
+    (tensorflow/bts.py:152): pass theta_max=pi/6 when running TF-zoo
+    weights (models/bts.py flavor='tf'). phi = sigmoid(x1) * 2*pi,
     dist = sigmoid(x2) * max_depth; n = (sin t cos p, sin t sin p, cos t, d).
     """
-    theta = jax.nn.sigmoid(raw[..., 0]) * (jnp.pi / 3)
+    theta = jax.nn.sigmoid(raw[..., 0]) * theta_max
     phi = jax.nn.sigmoid(raw[..., 1]) * (2 * jnp.pi)
     dist = jax.nn.sigmoid(raw[..., 2]) * max_depth
     sin_t = jnp.sin(theta)

@@ -189,15 +189,53 @@ def load_params_only(path: str, template_params=None, template_stats=None):
     return restored["params"], restored.get("batch_stats", {})
 
 
-def load_any_checkpoint(path: str, template_params=None, template_stats=None):
-    """Load params/batch_stats from either a full training checkpoint or a
-    params-only checkpoint."""
+def load_any_checkpoint(path: str, template_params=None, template_stats=None, cfg=None):
+    """Load params/batch_stats from any supported checkpoint format:
+
+      * an orbax directory saved by this framework (full-training or
+        params-only),
+      * a reference PyTorch zoo checkpoint (torch.save file,
+        pytorch/bts_main.py:500-503) via models/convert.py,
+      * a full reference TF BTS checkpoint (bts_nyu_v2/bts_eigen_v2,
+        tensorflow/README.md:89,198) via models/convert_tf.convert_full_tf
+        — requires templates + cfg, and the model must be built with
+        flavor='tf' (cfg.resolved_flavor auto-selects it).
+    """
+    from bts_tpu.models import convert_tf
+
+    if convert_tf.is_tf_checkpoint(path):
+        if template_params is None or cfg is None:
+            raise ValueError(
+                "loading a TF checkpoint needs model templates and cfg "
+                "(encoder/bts_size drive the slim name mapping)"
+            )
+        latest = convert_tf.tf_latest_checkpoint(path)
+        tf_vars = convert_tf.load_tf_checkpoint(latest or path)
+        params, stats, _ = convert_tf.convert_full_tf(
+            tf_vars, template_params, template_stats, cfg.encoder, cfg.bts_size
+        )
+        return params, stats
     path = os.path.abspath(path)
+    if os.path.isfile(path):
+        # Reference torch zoo checkpoint.
+        if template_params is None:
+            raise ValueError(
+                "loading a torch checkpoint needs model templates"
+            )
+        from bts_tpu.models.convert import (
+            convert_state_dict,
+            load_torch_checkpoint,
+        )
+
+        return convert_state_dict(
+            load_torch_checkpoint(path), template_params, template_stats
+        )
     if not os.path.isdir(path):
         raise FileNotFoundError(
-            f"No checkpoint directory at '{path}'. Expected an orbax "
-            f"checkpoint saved by this framework (e.g. "
-            f"<log_directory>/<model_name>/model-<step>)."
+            f"No checkpoint at '{path}'. Expected an orbax directory saved "
+            f"by this framework (e.g. <log_directory>/<model_name>/"
+            f"model-<step>), a reference torch .pth file, or a TF "
+            f"checkpoint prefix."
         )
     with ocp.PyTreeCheckpointer() as ckptr:
         restored = ckptr.restore(path)

@@ -172,20 +172,34 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> int:
             path = cfg.pretrained_model
             latest = convert_tf.tf_latest_checkpoint(path)
             tf_vars = convert_tf.load_tf_checkpoint(latest or path)
-            params, batch_stats, report = convert_tf.warm_start_from_tf(
-                tf_vars, params, batch_stats, cfg.encoder
-            )
-            if is_primary:
-                for name in report["unmatched_checkpoint"]:
-                    # Reference wording: tensorflow/bts_main.py:119.
-                    print(
-                        f"{name} is in pretrained model but not in current "
-                        "training model"
-                    )
-                print(
-                    f"Warm-started {len(report['loaded'])} tensors from TF "
-                    f"checkpoint '{cfg.pretrained_model}'"
+            if convert_tf.is_full_tf_bts_checkpoint(latest or path):
+                # Full trained TF BTS model (encoder + decoder): strict
+                # conversion; cfg.resolved_flavor already built the model
+                # as flavor='tf' so the bias leaves exist.
+                params, batch_stats, report = convert_tf.convert_full_tf(
+                    tf_vars, params, batch_stats, cfg.encoder, cfg.bts_size
                 )
+                if is_primary:
+                    print(
+                        f"Loaded full TF BTS checkpoint "
+                        f"'{cfg.pretrained_model}' "
+                        f"({len(report['loaded'])} tensors)"
+                    )
+            else:
+                params, batch_stats, report = convert_tf.warm_start_from_tf(
+                    tf_vars, params, batch_stats, cfg.encoder
+                )
+                if is_primary:
+                    for name in report["unmatched_checkpoint"]:
+                        # Reference wording: tensorflow/bts_main.py:119.
+                        print(
+                            f"{name} is in pretrained model but not in "
+                            "current training model"
+                        )
+                    print(
+                        f"Warm-started {len(report['loaded'])} tensors from "
+                        f"TF checkpoint '{cfg.pretrained_model}'"
+                    )
         else:
             from bts_tpu.models.convert import (
                 convert_state_dict,

@@ -35,7 +35,12 @@ def snapshot_run(cfg: Config, argv=None) -> str:
     with open(os.path.join(run_dir, "arguments.txt"), "w") as f:
         f.write(
             config_to_argfile(
-                cfg.replace(normalization=cfg.resolved_normalization)
+                cfg.replace(
+                    normalization=cfg.resolved_normalization,
+                    # model_flavor 'auto' sniffs checkpoint files on disk
+                    # too — pin it for the same replay-safety reason.
+                    model_flavor=cfg.resolved_flavor,
+                )
             )
         )
     if argv:

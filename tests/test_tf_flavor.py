@@ -1,0 +1,284 @@
+"""TF-flavor model + full TF-zoo checkpoint ingestion.
+
+The reference ships two trained TF checkpoints with quoted numbers
+(tensorflow/README.md:89,198) built from the TF graph
+(tensorflow/bts.py:237-345), which differs from the PT twin in: decoder
+convs carry biases (slim default under the arg scope at :346-349), the
+atrous 1x1 gets the arg-scope ELU, theta_max = pi/6 (:152), the final
+reduc1x1 chain starts at the full current width (:316), guidance maps are
+downsampled on the align_corners grid (:66-73), and encoder BNs use
+eps=1.1e-5 (:189-193). flavor='tf' (models/bts.py) reproduces that graph;
+models/convert_tf.convert_full_tf maps the checkpoint onto it with strict
+two-way 100% coverage.
+
+The slim auto-numbering (Conv, Conv_1, ...) cannot be ground-truthed here
+(tf.contrib.slim does not run on TF2), so the walk in tf_decoder_name_map
+is pinned by (a) hand-derived landmark indices from reading the TF build
+order, (b) shape-checked strict round-trips through real model trees at
+two widths, and (c) desync detection tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+tf = pytest.importorskip("tensorflow")
+
+import jax
+import jax.numpy as jnp
+
+from bts_tpu.config import Config
+from bts_tpu.models import convert_tf
+from bts_tpu.models.bts import BTSModel, init_model
+from bts_tpu.models.convert import _flatten
+
+
+# --------------------------- unit pieces ---------------------------
+
+
+def test_decode_plane_eq_theta_max():
+    from bts_tpu.ops.lpg import decode_plane_eq
+
+    rng = np.random.default_rng(0)
+    raw = jnp.asarray(rng.normal(size=(2, 4, 6, 3)).astype(np.float32))
+    for theta_max in (np.pi / 3, np.pi / 6):
+        out = np.asarray(decode_plane_eq(raw, 10.0, float(theta_max)))
+        sig = 1.0 / (1.0 + np.exp(-np.asarray(raw)))
+        theta = sig[..., 0] * theta_max
+        phi = sig[..., 1] * 2 * np.pi
+        dist = sig[..., 2] * 10.0
+        np.testing.assert_allclose(out[..., 0], np.sin(theta) * np.cos(phi), rtol=1e-5)
+        np.testing.assert_allclose(out[..., 1], np.sin(theta) * np.sin(phi), rtol=1e-5)
+        np.testing.assert_allclose(out[..., 2], np.cos(theta), rtol=1e-5)
+        np.testing.assert_allclose(out[..., 3], dist, rtol=1e-5)
+    # pi/6 caps theta lower: n3 = cos(theta) stays above cos(pi/6).
+    out6 = np.asarray(decode_plane_eq(raw, 10.0, float(np.pi / 6)))
+    assert out6[..., 2].min() >= np.cos(np.pi / 6) - 1e-6
+
+
+def test_downsample_ac_matches_tf_resize():
+    """downsample_nearest_ac == the TF graph's
+    tf.image.resize_nearest_neighbor(align_corners=True) downsample
+    (tensorflow/bts.py:66-73)."""
+    from bts_tpu.models.layers import downsample_nearest_ac
+
+    rng = np.random.default_rng(1)
+    for (h, w, r) in ((16, 24, 4), (32, 40, 2), (8, 8, 4)):
+        x = rng.normal(size=(2, h, w, 3)).astype(np.float32)
+        ours = np.asarray(downsample_nearest_ac(jnp.asarray(x), r))
+        theirs = tf.compat.v1.image.resize_nearest_neighbor(
+            tf.constant(x), [h // r, w // r], align_corners=True
+        ).numpy()
+        np.testing.assert_array_equal(ours, theirs)
+
+
+def test_upsample2x_equals_align_corners_resize():
+    """For exact 2x, align_corners nearest == plain repeat — so
+    layers.upsample_nearest serves BOTH flavors (the TF upconv's
+    resize at tensorflow/bts.py:63-67 needs no twin)."""
+    from bts_tpu.models.layers import upsample_nearest
+
+    rng = np.random.default_rng(2)
+    for (h, w) in ((5, 7), (16, 24), (1, 3)):
+        x = rng.normal(size=(1, h, w, 2)).astype(np.float32)
+        ours = np.asarray(upsample_nearest(jnp.asarray(x), 2))
+        theirs = tf.compat.v1.image.resize_nearest_neighbor(
+            tf.constant(x), [2 * h, 2 * w], align_corners=True
+        ).numpy()
+        np.testing.assert_array_equal(ours, theirs)
+
+
+def test_decoder_name_map_landmarks():
+    """Hand-derived slim auto-numbering landmarks (from reading the build
+    order in tensorflow/bts.py:237-345) at both zoo widths."""
+    m512 = convert_tf.tf_decoder_name_map(512)
+    assert m512["upconv5/conv/kernel"] == "Conv/weights"
+    assert m512["upconv5/conv/bias"] == "Conv/biases"
+    assert m512["bn5/bn/scale"] == "BatchNorm/gamma"
+    assert m512["daspp_3/conv1/conv/kernel"] == "Conv_4/weights"
+    assert m512["daspp_3/bn2/bn/mean"] == "BatchNorm_3/moving_mean"
+    assert m512["daspp_24/conv2/conv/kernel"] == "Conv_13/weights"
+    assert m512["daspp_conv/conv/kernel"] == "Conv_14/weights"
+    # reduc8x8 starts at 512//4=128: inter_0..4 then the plane head.
+    assert m512["reduc8x8/inter_0/conv/kernel"] == "Conv_15/weights"
+    assert m512["reduc8x8/plane_params/conv/kernel"] == "Conv_20/weights"
+    assert m512["bn2/bn/var"] == "BatchNorm_13/moving_variance"
+    # Final reduc starts at nf//16 (TF passes the full width, :316).
+    assert m512["reduc1x1/inter_0/conv/kernel"] == "Conv_35/weights"
+    assert m512["reduc1x1/final/conv/kernel"] == "Conv_38/weights"
+    assert m512["conv1/conv/kernel"] == "Conv_39/weights"
+    assert m512["get_depth/conv/kernel"] == "Conv_40/weights"
+
+    m256 = convert_tf.tf_decoder_name_map(256)
+    assert m256["reduc8x8/inter_0/conv/kernel"] == "Conv_15/weights"
+    assert m256["reduc8x8/plane_params/conv/kernel"] == "Conv_19/weights"
+    assert m256["get_depth/conv/kernel"] == "Conv_36/weights"
+    # 14 BatchNorms in every width (bn5, bn4, bn4_2, bn3, bn2 + 9 atrous).
+    for m in (m512, m256):
+        bns = {v.split("/")[0] for k, v in m.items() if "BatchNorm" in v}
+        assert len(bns) == 14
+
+
+# ------------------- synthetic full checkpoint -> model -------------------
+
+ENC = "densenet121_bts"
+NF = 256  # TF builds densenet121 decoders at num_filters=256 (bts.py:404)
+H, W = 64, 96
+
+
+def _model_tf_names(params, stats):
+    """Every (tf_name, shape) for a flavor='tf' model tree, using the
+    module's own mapping (the mapping itself is pinned by the landmark
+    test above and by test_convert_tf's independent encoder enumeration).
+    """
+    dec_map = convert_tf.tf_decoder_name_map(NF)
+    out = {}
+    for flat in (params, stats):
+        for path, leaf in _flatten(flat).items():
+            if path[0] == "encoder":
+                name = "model/encoder/densenet121/" + convert_tf._tf_encoder_name(
+                    path[1:-2], path[-1]
+                )
+            else:
+                name = "model/decoder/" + dec_map["/".join(path[1:])]
+            out[name] = np.shape(leaf)
+    return out
+
+
+@pytest.fixture(scope="module")
+def tf_model_and_ckpt(tmp_path_factory):
+    model = BTSModel(
+        encoder_name=ENC, max_depth=10.0, bts_size=NF, flavor="tf"
+    )
+    params, stats = init_model(model, jax.random.key(0), (1, H, W, 3))
+
+    rng = np.random.default_rng(3)
+    names, tensors = [], []
+    for name, shape in sorted(_model_tf_names(params, stats).items()):
+        names.append(name)
+        if name.endswith("moving_variance"):
+            t = rng.uniform(0.5, 1.5, size=shape).astype(np.float32)
+        else:
+            t = (rng.normal(size=shape) * 0.05).astype(np.float32)
+        tensors.append(t)
+    # Non-model bookkeeping a real training checkpoint carries.
+    names += ["global_step", "model/decoder/Conv/weights/Adam"]
+    tensors += [np.int64(777), np.zeros((3, 3, 2208 if NF == 512 else 1024, NF), np.float32)]
+
+    d = tmp_path_factory.mktemp("tffull")
+    prefix = str(d / "model")
+    tf.raw_ops.SaveV2(
+        prefix=prefix,
+        tensor_names=names,
+        shape_and_slices=[""] * len(names),
+        tensors=[tf.constant(t) for t in tensors],
+    )
+    return model, params, stats, prefix, dict(zip(names, tensors))
+
+
+def test_convert_full_tf_roundtrip(tf_model_and_ckpt):
+    model, params, stats, prefix, truth = tf_model_and_ckpt
+    tf_vars = convert_tf.load_tf_checkpoint(prefix)
+    new_p, new_s, report = convert_tf.convert_full_tf(
+        tf_vars, params, stats, ENC, NF
+    )
+    # 100% coverage: every model leaf loaded, only bookkeeping skipped.
+    n_leaves = len(_flatten(params)) + len(_flatten(stats))
+    assert len(report["loaded"]) == n_leaves
+    assert report["skipped_non_model"] == [
+        "global_step", "model/decoder/Conv/weights/Adam",
+    ]
+    # Exhaustive value routing via the same mapping.
+    dec_map = convert_tf.tf_decoder_name_map(NF)
+    for flat in (_flatten(new_p), _flatten(new_s)):
+        for path, leaf in flat.items():
+            if path[0] == "encoder":
+                name = (
+                    "model/encoder/densenet121/"
+                    + convert_tf._tf_encoder_name(path[1:-2], path[-1])
+                )
+            else:
+                name = "model/decoder/" + dec_map["/".join(path[1:])]
+            np.testing.assert_array_equal(
+                np.asarray(leaf), truth[name], err_msg="/".join(path)
+            )
+    # Decoder biases exist in the flavor='tf' tree and were loaded.
+    assert ("decoder", "get_depth", "conv", "bias") in _flatten(new_p)
+
+
+def test_convert_full_tf_desync_detection(tf_model_and_ckpt):
+    model, params, stats, prefix, truth = tf_model_and_ckpt
+    tf_vars = convert_tf.load_tf_checkpoint(prefix)
+    # A missing decoder variable fails loudly.
+    broken = dict(tf_vars)
+    del broken["model/decoder/Conv_10/weights"]
+    with pytest.raises(KeyError, match="not found"):
+        convert_tf.convert_full_tf(broken, params, stats, ENC, NF)
+    # An unconsumed model variable (numbering desync) fails loudly.
+    extra = dict(tf_vars)
+    extra["model/decoder/Conv_99/weights"] = np.zeros((1, 1, 4, 4), np.float32)
+    with pytest.raises(KeyError, match="no model leaf"):
+        convert_tf.convert_full_tf(extra, params, stats, ENC, NF)
+    # Wrong width (wrong bts_size) shows up as a shape/name error.
+    with pytest.raises((KeyError, ValueError)):
+        convert_tf.convert_full_tf(tf_vars, params, stats, ENC, 512)
+
+
+def test_tf_flavor_forward_runs(tf_model_and_ckpt):
+    model, params, stats, prefix, _ = tf_model_and_ckpt
+    tf_vars = convert_tf.load_tf_checkpoint(prefix)
+    new_p, new_s, _ = convert_tf.convert_full_tf(tf_vars, params, stats, ENC, NF)
+    img = jnp.asarray(
+        np.random.default_rng(4).normal(size=(1, H, W, 3)).astype(np.float32)
+    )
+    focal = jnp.asarray([518.8579], jnp.float32)
+    outs = model.apply(
+        {"params": new_p, "batch_stats": new_s}, img, focal, train=False
+    )
+    assert [o.shape for o in outs] == [(1, H, W, 1)] * 5
+    for o in outs:
+        assert np.isfinite(np.asarray(o)).all()
+    # theta_max=pi/6 is live: the decoded depth is positive and bounded.
+    assert 0.0 <= float(outs[4].min()) and float(outs[4].max()) <= 10.0
+
+
+def test_resolved_flavor_and_normalization_sniff(tf_model_and_ckpt, tmp_path):
+    _, _, _, prefix, _ = tf_model_and_ckpt
+    cfg = Config(encoder=ENC, bts_size=NF, checkpoint_path=prefix)
+    assert cfg.resolved_flavor == "tf"
+    # The TF pipeline normalizes caffe-style; densenet gets the x0.017.
+    assert cfg.resolved_normalization == "caffe"
+    assert Config(encoder=ENC).resolved_flavor == "pt"
+    # Explicit override wins.
+    assert cfg.replace(model_flavor="pt").resolved_flavor == "pt"
+    # An encoder-only TF warm start keeps the PT graph.
+    enc_only = tmp_path / "enc"
+    enc_only.mkdir()
+    assert (
+        Config(encoder=ENC, pretrained_model=str(enc_only)).resolved_flavor
+        == "pt"
+    )
+
+
+def test_load_any_checkpoint_routes_tf(tf_model_and_ckpt):
+    from bts_tpu.training.checkpoint import load_any_checkpoint
+
+    model, params, stats, prefix, truth = tf_model_and_ckpt
+    cfg = Config(encoder=ENC, bts_size=NF)
+    p, s = load_any_checkpoint(prefix, params, stats, cfg=cfg)
+    np.testing.assert_array_equal(
+        p["decoder"]["get_depth"]["conv"]["bias"],
+        truth[
+            "model/decoder/"
+            + convert_tf.tf_decoder_name_map(NF)["get_depth/conv/bias"]
+        ],
+    )
+
+
+def test_tf_flavor_rejects_non_densenet():
+    with pytest.raises(ValueError, match="densenet"):
+        model = BTSModel(
+            encoder_name="resnet50_bts", max_depth=10.0, flavor="tf"
+        )
+        init_model(model, jax.random.key(0), (1, 32, 64, 3))
