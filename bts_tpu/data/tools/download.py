@@ -23,7 +23,32 @@ NYU_RAW_URL = (
     "http://horatio.cs.nyu.edu/mit/silberman/nyu_depth_v2"
 )
 
+# Official NYUv2 raw distribution parts (scene-category zips). This is the
+# dataset's own part list — not derivable from manifests — kept byte-equal
+# to the reference's utils/nyudepthv2_archives_to_download.txt (verified by
+# tests/test_data_tools.py).
+NYU_ARCHIVES = (
+    "basements.zip", "bathrooms_part1.zip", "bathrooms_part2.zip",
+    "bathrooms_part3.zip", "bathrooms_part4.zip", "bedrooms_part1.zip",
+    "bedrooms_part2.zip", "bedrooms_part3.zip", "bedrooms_part4.zip",
+    "bedrooms_part5.zip", "bedrooms_part6.zip", "bedrooms_part7.zip",
+    "bookstore_part1.zip", "bookstore_part2.zip", "bookstore_part3.zip",
+    "cafe.zip", "classrooms.zip", "dining_rooms_part1.zip",
+    "dining_rooms_part2.zip", "furniture_stores.zip", "home_offices.zip",
+    "kitchens_part1.zip", "kitchens_part2.zip", "kitchens_part3.zip",
+    "libraries.zip", "living_rooms_part1.zip", "living_rooms_part2.zip",
+    "living_rooms_part3.zip", "living_rooms_part4.zip", "misc_part1.zip",
+    "misc_part2.zip", "offices_part1.zip", "offices_part2.zip",
+    "office_kitchens.zip", "playrooms.zip", "reception_rooms.zip",
+    "studies.zip", "study_rooms.zip",
+)
+
 _DRIVE_RE = re.compile(r"(\d{4}_\d{2}_\d{2})_drive_(\d{4})")
+
+
+def nyu_archive_urls() -> List[str]:
+    """Full NYUv2 raw archive URL list (reference D7 aria2c list)."""
+    return [f"{NYU_RAW_URL}/{name}" for name in NYU_ARCHIVES]
 
 
 def kitti_archives_for_manifest(manifest_path: str) -> List[str]:
@@ -79,12 +104,16 @@ def main(argv=None) -> int:
         for u in urls:
             print(u)
         return 0
+    if argv == ["--nyu-list"]:
+        for u in nyu_archive_urls():
+            print(u)
+        return 0
     if len(argv) == 2:
         gdrive_download(argv[0], argv[1])
         return 0
     print(
         "usage: download.py <gdrive_file_id> <dest> | "
-        "download.py --kitti-list <manifest.txt>"
+        "download.py --kitti-list <manifest.txt> | download.py --nyu-list"
     )
     return 1
 

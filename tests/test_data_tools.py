@@ -162,3 +162,44 @@ def test_kitti_manifest_fixture(tmp_path):
     mf.write_text(lines[0] + "\n")
     e = load_manifest(str(mf))[0]
     assert e.right_image_path == parts[3]
+
+
+# --------- archive-list parity vs the reference download lists ---------
+
+REF_UTILS = "/root/reference/utils"
+REPO_SPLITS = os.path.join(os.path.dirname(__file__), "..", "train_test_inputs")
+
+
+def test_kitti_archive_urls_match_reference_list():
+    """The derived per-manifest archive sets, unioned over the official
+    eigen train+test splits, must reproduce the reference's 66-archive
+    aria2c list (utils/kitti_archives_to_download.txt) exactly."""
+    from bts_tpu.data.tools.download import kitti_archives_for_manifest
+
+    urls = set()
+    for mf in ("eigen_train_files_with_gt.txt", "eigen_test_files_with_gt.txt"):
+        urls |= set(
+            kitti_archives_for_manifest(os.path.join(REPO_SPLITS, mf))
+        )
+    ref = [
+        line.strip()
+        for line in open(os.path.join(REF_UTILS, "kitti_archives_to_download.txt"))
+        if line.strip()
+    ]
+    assert len(ref) == 66
+    assert sorted(urls) == sorted(ref)
+
+
+def test_nyu_archive_urls_match_reference_list():
+    """nyu_archive_urls() is byte-equal (content and order) to the
+    reference's utils/nyudepthv2_archives_to_download.txt."""
+    from bts_tpu.data.tools.download import nyu_archive_urls
+
+    ref = [
+        line.strip()
+        for line in open(
+            os.path.join(REF_UTILS, "nyudepthv2_archives_to_download.txt")
+        )
+        if line.strip()
+    ]
+    assert nyu_archive_urls() == ref
