@@ -250,3 +250,41 @@ def test_snapshot_roundtrip(tmp_path):
 
     assert run_dir in sys.path
     sys.path.remove(run_dir)
+
+
+def test_reproduce_runbook_metric_check():
+    """scripts/reproduce_reference.py gate logic: published-number lookup,
+    tolerance comparison, and the miss path."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "reproduce_reference",
+        os.path.join(
+            os.path.dirname(__file__), "..", "scripts", "reproduce_reference.py"
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    # Synthesize a measured vector that matches the published densenet161
+    # NYU row exactly -> PASS.
+    measures = np.zeros(9)
+    measures[mod.METRIC_INDEX["d1"]] = 0.885
+    measures[mod.METRIC_INDEX["abs_rel"]] = 0.110
+    ok, lines = mod.check_metrics(measures, "densenet161_bts", "nyu", "pt", 0.002)
+    assert ok and len(lines) == 2
+    # Off by more than the tolerance -> FAIL.
+    measures[mod.METRIC_INDEX["d1"]] = 0.880
+    ok, _ = mod.check_metrics(measures, "densenet161_bts", "nyu", "pt", 0.002)
+    assert not ok
+    # Within tolerance -> PASS.
+    measures[mod.METRIC_INDEX["d1"]] = 0.8845
+    ok, _ = mod.check_metrics(measures, "densenet161_bts", "nyu", "pt", 0.002)
+    assert ok
+    # TF zoo rows exist for both datasets.
+    measures[mod.METRIC_INDEX["d1"]] = 0.886
+    ok, _ = mod.check_metrics(measures, "densenet161_bts", "nyu", "tf", 0.002)
+    assert ok
+    # Unknown row reports, does not crash.
+    ok, lines = mod.check_metrics(measures, "mobilenetv2_bts", "nyu", "pt", 0.002)
+    assert not ok and "no published number" in lines[0]
