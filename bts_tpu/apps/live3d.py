@@ -116,7 +116,9 @@ def make_depth_fn(cfg: Config, model=None, variables=None):
     if variables is None:
         params, stats = init_model(model, jax.random.key(cfg.seed), (1, 64, 96, 3))
         if cfg.checkpoint_path:
-            params, stats = load_any_checkpoint(cfg.checkpoint_path, params, stats)
+            params, stats = load_any_checkpoint(
+                cfg.checkpoint_path, params, stats, cfg=cfg
+            )
         variables = {"params": params, "batch_stats": stats}
 
     cache: dict = {}

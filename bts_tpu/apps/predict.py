@@ -63,7 +63,9 @@ def run_predictions(
             (1, cfg.input_height, cfg.input_width, 3),
         )
         if cfg.checkpoint_path:
-            params, stats = load_any_checkpoint(cfg.checkpoint_path, params, stats)
+            params, stats = load_any_checkpoint(
+                cfg.checkpoint_path, params, stats, cfg=cfg
+            )
         variables = {"params": params, "batch_stats": stats}
 
     loader = EvalLoader(cfg, "test")

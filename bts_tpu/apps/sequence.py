@@ -56,7 +56,9 @@ def run_sequence(
     if variables is None:
         params, stats = init_model(model, jax.random.key(cfg.seed), (1, 64, 96, 3))
         if cfg.checkpoint_path:
-            params, stats = load_any_checkpoint(cfg.checkpoint_path, params, stats)
+            params, stats = load_any_checkpoint(
+                cfg.checkpoint_path, params, stats, cfg=cfg
+            )
         variables = {"params": params, "batch_stats": stats}
 
     out_dir = out_dir or os.path.join(image_dir, "out")

@@ -77,7 +77,7 @@ def evaluate_pending(
     )
     results = {}
     for step, path in pending.items():
-        p, s = load_any_checkpoint(path, params, stats)
+        p, s = load_any_checkpoint(path, params, stats, cfg=cfg)
         measures = run_online_eval(
             model, {"params": p, "batch_stats": s}, cfg
         )

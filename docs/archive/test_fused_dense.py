@@ -1,4 +1,8 @@
-"""Fused dense-layer Pallas kernel vs the XLA chain (interpreter on CPU).
+"""ARCHIVED (round 5) with ops/fused_dense.py — restore both to their
+original paths (bts_tpu/ops/, tests/) to re-run. See docs/DESIGN.md
+"Fused dense-layer Pallas kernel: a measured dead end".
+
+Fused dense-layer Pallas kernel vs the XLA chain (interpreter on CPU).
 
 The kernel is a documented negative result on v5e (docs/DESIGN.md,
 "Fused dense-layer Pallas kernel: a measured dead end") but is kept
