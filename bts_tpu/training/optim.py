@@ -106,12 +106,26 @@ def create_optimizer(cfg: Config, params, num_total_steps: int):
         power=0.9,
     )
     labels = param_labels(params, cfg)
+    # bf16 first moment (--adam_bf16_moments): cuts the optimizer-state
+    # HBM for the mu tree in half (optax mu_dtype; nu stays f32) at the
+    # cost of first-moment accumulation precision. No reference
+    # equivalent; off by default (reference-exact f32 moments).
+    mu_dtype = (
+        jax.numpy.bfloat16
+        if getattr(cfg, "adam_bf16_moments", False)
+        else None
+    )
     tx = optax.multi_transform(
         {
             "encoder": optax.adamw(
-                schedule, eps=cfg.adam_eps, weight_decay=cfg.weight_decay
+                schedule,
+                eps=cfg.adam_eps,
+                weight_decay=cfg.weight_decay,
+                mu_dtype=mu_dtype,
             ),
-            "decoder": optax.adamw(schedule, eps=cfg.adam_eps, weight_decay=0.0),
+            "decoder": optax.adamw(
+                schedule, eps=cfg.adam_eps, weight_decay=0.0, mu_dtype=mu_dtype
+            ),
             "frozen": optax.set_to_zero(),
         },
         labels,

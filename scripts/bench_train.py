@@ -28,8 +28,14 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--encoder", default="densenet161_bts")
+    ap.add_argument("--dataset", default="nyu", choices=["nyu", "kitti"])
     ap.add_argument("--height", type=int, default=416)
     ap.add_argument("--width", type=int, default=544)
+    ap.add_argument(
+        "--bf16_moments",
+        action="store_true",
+        help="store Adam m/v in bfloat16 (halves optimizer-state HBM)",
+    )
     ap.add_argument("--raw_height", type=int, default=480)
     ap.add_argument("--raw_width", type=int, default=640)
     ap.add_argument("--no_device_augment", action="store_true")
@@ -63,8 +69,9 @@ def main() -> None:
     device_augment = not args.no_device_augment
     cfg = Config(
         encoder=args.encoder,
-        dataset="nyu",
-        max_depth=10.0,
+        dataset=args.dataset,
+        max_depth=10.0 if args.dataset == "nyu" else 80.0,
+        adam_bf16_moments=args.bf16_moments,
         compute_dtype="bfloat16",
         batch_size=args.batch,
         input_height=args.height,
