@@ -282,3 +282,55 @@ def test_tf_flavor_rejects_non_densenet():
             encoder_name="resnet50_bts", max_depth=10.0, flavor="tf"
         )
         init_model(model, jax.random.key(0), (1, 32, 64, 3))
+
+
+@pytest.mark.medium
+def test_tf_checkpoint_end_to_end_cli(tf_model_and_ckpt, tmp_path):
+    """Full inference chain on a TF checkpoint through the CLI surface:
+    Config auto-resolves flavor='tf' + caffe normalization from the
+    checkpoint prefix, run_predictions builds/loads/converts and dumps
+    uint16 depth pngs — the user-facing path for the reference TF zoo
+    (tensorflow/README.md:60-89)."""
+    from PIL import Image
+
+    _, _, _, prefix, _ = tf_model_and_ckpt
+
+    root = tmp_path / "data"
+    scene = root / "kitchen_0001"
+    scene.mkdir(parents=True)
+    rng = np.random.default_rng(9)
+    lines = []
+    for i in range(2):
+        rgb = rng.integers(0, 255, size=(H, W, 3), dtype=np.uint8)
+        Image.fromarray(rgb).save(scene / f"rgb_{i:05d}.jpg")
+        lines.append(f"kitchen_0001/rgb_{i:05d}.jpg None 518.8579")
+    manifest = root / "files.txt"
+    manifest.write_text("\n".join(lines) + "\n")
+
+    cfg = Config(
+        model_name="tfzoo",
+        encoder=ENC,
+        bts_size=NF,
+        dataset="nyu",
+        max_depth=10.0,
+        input_height=H,
+        input_width=W,
+        data_path=str(root),
+        gt_path=str(root),
+        filenames_file=str(manifest),
+        checkpoint_path=prefix,
+        eval_batch_size=2,
+    )
+    assert cfg.resolved_flavor == "tf"
+    assert cfg.resolved_normalization == "caffe"
+
+    from bts_tpu.apps.predict import run_predictions
+
+    out_dir = run_predictions(cfg, out_dir=str(tmp_path / "preds"))
+    import os
+
+    raws = sorted(os.listdir(os.path.join(out_dir, "raw")))
+    assert len(raws) == 2
+    img = np.asarray(Image.open(os.path.join(out_dir, "raw", raws[0])))
+    assert img.dtype == np.uint16 and img.shape == (H, W)
+    assert img.max() > 0  # real depths, x1000 NYU encoding
