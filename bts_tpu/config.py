@@ -129,8 +129,10 @@ class Config:
     # Run rotation/crop/flip/photometric/normalize fused on-device inside
     # the jitted train step (host only decodes + static-crops).
     device_augment: bool = False
-    # Store Adam first/second moments in bfloat16 (halves optimizer-state
-    # HBM; reference-exact f32 moments when off).
+    # Store the Adam FIRST moment (mu) in bfloat16 — optax mu_dtype; the
+    # second moment stays f32, so this saves ~25% of the two-moment state
+    # (one of four param-sized optimizer trees incl. params). Enough to
+    # fit batch 32 without remat; reference-exact f32 moments when off.
     adam_bf16_moments: bool = False
     # Use jax.checkpoint (remat) on the encoder to trade FLOPs for HBM.
     remat: bool = False
@@ -215,7 +217,13 @@ class Config:
     def resolved_flavor(self) -> str:
         """'pt' or 'tf'; 'auto' sniffs for a full TF BTS checkpoint at
         --checkpoint_path or --pretrained_model (the TF zoo's
-        bts_nyu_v2/bts_eigen_v2 models, tensorflow/README.md:89,198)."""
+        bts_nyu_v2/bts_eigen_v2 models, tensorflow/README.md:89,198).
+
+        The 'auto' sniff opens the checkpoint and enumerates its variable
+        map, so the result is cached per instance — create_model, the
+        loaders, the snapshot and predict would otherwise each re-read the
+        checkpoint index. dataclasses.replace copies declared fields only,
+        so replaced configs re-resolve."""
         if self.model_flavor in ("pt", "tf"):
             return self.model_flavor
         if self.model_flavor != "auto":
@@ -223,7 +231,12 @@ class Config:
                 f"model_flavor must be 'pt', 'tf' or 'auto' "
                 f"(got {self.model_flavor!r})"
             )
-        for path in (self.checkpoint_path, self.pretrained_model):
+        cached = self.__dict__.get("_resolved_flavor_cache")
+        key = (self.checkpoint_path, self.pretrained_model)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        flavor = "pt"
+        for path in key:
             if not path:
                 continue
             from bts_tpu.models.convert_tf import (
@@ -232,8 +245,10 @@ class Config:
             )
 
             if is_tf_checkpoint(path) and is_full_tf_bts_checkpoint(path):
-                return "tf"
-        return "pt"
+                flavor = "tf"
+                break
+        self._resolved_flavor_cache = (key, flavor)
+        return flavor
 
 
 def _build_parser() -> argparse.ArgumentParser:

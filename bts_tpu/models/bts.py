@@ -77,6 +77,8 @@ class BTSModel(nn.Module):
                     "(tensorflow/bts.py:398-430)"
                 )
             kwargs["bn_eps"] = 1.1e-5  # tensorflow/bts.py:189-193
+            # slim-'SAME' stem padding (tensorflow/bts.py:204-210).
+            kwargs["tf_stem"] = True
         enc_cls = type(template)
         if self.remat:
             # Rematerialize encoder activations in the backward pass to trade

@@ -133,8 +133,13 @@ class AtrousConv(nn.Module):
 
     tf_variant reproduces the TF twin (tensorflow/bts.py:84-100 built under
     the decoder arg_scope at :346-349,404-405): convs carry biases, the 1x1
-    conv gets the arg-scope ELU before the inner BN, and the inner BN uses
-    eps=1.1e-5 (the decoder-wide batch_norm_params).
+    conv gets the arg-scope ELU before the inner BN, the inner BN uses
+    eps=1.1e-5 (the decoder-wide batch_norm_params), and — crucially for
+    border numerics — the input is zero-padded by pk+rate-1 BEFORE the
+    first BN (tensorflow/bts.py:85-88), so the pad band flows through
+    BN/ReLU/conv1x1(+bias)/ELU/BN/ReLU and reaches the dilated conv as
+    NONZERO values; the dilated 3x3 then runs VALID. The PT twin instead
+    zero-pads inside the dilated conv (pytorch/bts.py:60-64).
     """
 
     features: int
@@ -145,6 +150,10 @@ class AtrousConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.tf_variant:
+            # pk + pr with pk=1 (3x3) and pr=rate-1 => pad by `rate`.
+            p = self.dilation
+            x = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
         if self.apply_bn_first:
             x = BatchNorm(
                 torch_momentum=TORCH_BN_MOMENTUM_DECODER,
@@ -172,7 +181,8 @@ class AtrousConv(nn.Module):
         x = Conv(
             self.features,
             (3, 3),
-            padding=self.dilation,
+            # TF flavor already padded the input above: VALID here.
+            padding=0 if self.tf_variant else self.dilation,
             dilation=self.dilation,
             use_bias=self.tf_variant,
             dtype=self.dtype,

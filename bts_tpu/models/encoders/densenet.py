@@ -62,6 +62,18 @@ _SPLIT_MIN_LAYERS = 16
 _SPLIT_MIN_LAYERS_B128 = 12
 
 
+def _same_pads(size: int, k: int, s: int) -> Tuple[int, int]:
+    """TF 'SAME' per-side padding for one spatial dim (extra pixel AFTER).
+
+    slim/tf.nn SAME: out = ceil(size/s), total = max((out-1)*s + k - size, 0),
+    split low = total//2 — asymmetric when total is odd (k7/s2 and k3/s2 on
+    even inputs pad (2,3)/(0,1), vs torch's symmetric (3,3)/(1,1))."""
+    out = -(-size // s)
+    total = max((out - 1) * s + k - size, 0)
+    lo = total // 2
+    return lo, total - lo
+
+
 class DenseLayer(nn.Module):
     """BN -> ReLU -> 1x1 conv(4g) -> BN -> ReLU -> 3x3 conv(g).
 
@@ -214,6 +226,11 @@ class DenseNetEncoder(nn.Module):
     # TF-flavor slim graphs build every encoder BN with eps=1.1e-5
     # (tensorflow/bts.py:189-193); torchvision uses 1e-5 (default).
     bn_eps: float = 1e-5
+    # TF-flavor stem: slim 'SAME' padding for the k7/s2 conv and k3/s2
+    # maxpool (tensorflow/bts.py:204-210) — asymmetric (2,3)/(0,1) on even
+    # inputs, one input pixel off the torch grid. Everything downstream
+    # (k3/s1 convs, 2x2/s2 VALID pools) pads identically in both flavors.
+    tf_stem: bool = False
     split: Any = "auto"
 
     @nn.compact
@@ -234,11 +251,21 @@ class DenseNetEncoder(nn.Module):
             _SPLIT_MIN_LAYERS_B128 if x.shape[0] >= 128 else _SPLIT_MIN_LAYERS
         )
         skips = []
+        if self.tf_stem:
+            x = jnp.pad(
+                x,
+                (
+                    (0, 0),
+                    _same_pads(x.shape[1], 7, 2),
+                    _same_pads(x.shape[2], 7, 2),
+                    (0, 0),
+                ),
+            )
         x = Conv(
             self.num_init_features,
             (7, 7),
             strides=(2, 2),
-            padding=3,
+            padding=0 if self.tf_stem else 3,
             dtype=self.dtype,
             name="conv0",
         )(x)
@@ -247,7 +274,12 @@ class DenseNetEncoder(nn.Module):
         )
         x = nn.relu(x)
         skips.append(x)  # 'relu0' — H/2
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        pool_pad = (
+            (_same_pads(x.shape[1], 3, 2), _same_pads(x.shape[2], 3, 2))
+            if self.tf_stem
+            else ((1, 1), (1, 1))
+        )
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=pool_pad)
         skips.append(x)  # 'pool0' — H/4
 
         num_features = self.num_init_features

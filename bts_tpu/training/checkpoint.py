@@ -136,6 +136,11 @@ def save_checkpoint(
             payload["best"] = best.to_dict()
         ckptr.save(path, payload)
         return
+    # A prior async save to this path may still be writing in the
+    # background: drain it before deleting the directory out from under
+    # the writer (every sync caller gets the guard, not just the preempt
+    # path in loop.py).
+    wait_for_async_saves()
     if os.path.exists(path):
         shutil.rmtree(path)
     with ocp.PyTreeCheckpointer() as ckptr:
@@ -164,6 +169,7 @@ def restore_checkpoint(path: str, state, best: Optional[BestTracker] = None):
 def save_params_only(path: str, params, batch_stats) -> None:
     """Inference checkpoint: params + batch stats only."""
     path = os.path.abspath(path)
+    wait_for_async_saves()  # same rmtree-vs-background-writer guard
     if os.path.exists(path):
         shutil.rmtree(path)
     with ocp.PyTreeCheckpointer() as ckptr:

@@ -488,11 +488,9 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> int:
                             "Termination signal received; saving checkpoint "
                             f"model-{global_step} and exiting cleanly."
                         )
-                        # A periodic async save to the same model-{step}
-                        # path may still be writing; the sync save below
-                        # rmtree's the directory first, so drain async
-                        # writers before touching it.
-                        ckpt_lib.wait_for_async_saves()
+                        # save_checkpoint drains in-flight async saves
+                        # before its rmtree (a periodic async save to the
+                        # same model-{step} path may still be writing).
                         ckpt_lib.save_checkpoint(
                             os.path.join(run_dir, f"model-{global_step}"),
                             state,

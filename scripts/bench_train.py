@@ -34,7 +34,8 @@ def main() -> None:
     ap.add_argument(
         "--bf16_moments",
         action="store_true",
-        help="store Adam m/v in bfloat16 (halves optimizer-state HBM)",
+        help="store the Adam first moment (mu) in bfloat16 (~25% of "
+        "moment-state HBM; nu stays f32 — optax mu_dtype)",
     )
     ap.add_argument("--raw_height", type=int, default=480)
     ap.add_argument("--raw_width", type=int, default=640)

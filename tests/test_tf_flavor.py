@@ -334,3 +334,195 @@ def test_tf_checkpoint_end_to_end_cli(tf_model_and_ckpt, tmp_path):
     img = np.asarray(Image.open(os.path.join(out_dir, "raw", raws[0])))
     assert img.dtype == np.uint16 and img.shape == (H, W)
     assert img.max() > 0  # real depths, x1000 NYU encoding
+
+
+# ------------- TF-graph border semantics (tf.nn as the oracle) -------------
+#
+# The two flavor-'tf' graph properties that torch-style padding gets WRONG
+# at borders: (a) atrous_conv pads BEFORE the first BN (tensorflow/bts.py:
+# 85-88), so the pad band reaches the dilated conv as nonzero values;
+# (b) the slim stem uses 'SAME' padding, asymmetric for k7/s2 and k3/s2 on
+# even inputs. Modern tf.nn ops implement the identical padding semantics
+# slim lowered to, so they serve as a numerical oracle without contrib.
+
+
+def _bn_tf(x, scale, bias, mean, var, eps):
+    return tf.nn.batch_normalization(
+        x,
+        tf.constant(np.asarray(mean)),
+        tf.constant(np.asarray(var)),
+        tf.constant(np.asarray(bias)),
+        tf.constant(np.asarray(scale)),
+        eps,
+    )
+
+
+def _randomize_tree(tree, rng):
+    """Random values for every leaf (positive for variances)."""
+    import jax.tree_util as jtu
+
+    def rnd(path, leaf):
+        shape = np.shape(leaf)
+        if any(getattr(p, "key", None) == "var" for p in path):
+            return jnp.asarray(rng.uniform(0.5, 1.5, shape).astype(np.float32))
+        return jnp.asarray((rng.normal(size=shape) * 0.3).astype(np.float32))
+
+    return jtu.tree_map_with_path(rnd, tree)
+
+
+@pytest.mark.parametrize("apply_bn_first,rate", [(True, 6), (False, 3)])
+def test_atrous_tf_variant_matches_tf_graph(apply_bn_first, rate):
+    """flavor-'tf' AtrousConv == the reference TF graph structure
+    (tensorflow/bts.py:84-100) rebuilt with tf.nn ops: pad(pk+rate-1) ->
+    [BN] -> relu -> conv1x1+bias -> ELU -> BN -> relu -> dilated VALID."""
+    from bts_tpu.models.decoder import DECODER_BN_EPS, AtrousConv
+
+    rng = np.random.default_rng(11)
+    mod = AtrousConv(
+        features=8, dilation=rate, apply_bn_first=apply_bn_first,
+        tf_variant=True,
+    )
+    x = jnp.asarray(rng.normal(size=(2, 10, 14, 6)).astype(np.float32))
+    variables = mod.init(jax.random.key(0), x, train=False)
+    variables = _randomize_tree(
+        jax.tree_util.tree_map(np.asarray, variables), rng
+    )
+    ours = np.asarray(
+        mod.apply(variables, x, train=False)
+    )
+
+    p_, s_ = variables["params"], variables["batch_stats"]
+    pad = 1 + (rate - 1)
+    out = tf.pad(
+        tf.constant(np.asarray(x)), [[0, 0], [pad, pad], [pad, pad], [0, 0]]
+    )
+    if apply_bn_first:
+        bn = p_["first_bn"]["bn"], s_["first_bn"]["bn"]
+        out = _bn_tf(
+            out, bn[0]["scale"], bn[0]["bias"], bn[1]["mean"], bn[1]["var"],
+            DECODER_BN_EPS,
+        )
+    out = tf.nn.relu(out)
+    out = (
+        tf.nn.conv2d(out, tf.constant(np.asarray(p_["conv1"]["conv"]["kernel"])), 1, "VALID")
+        + np.asarray(p_["conv1"]["conv"]["bias"])
+    )
+    out = tf.nn.elu(out)
+    bn2 = p_["bn2"]["bn"], s_["bn2"]["bn"]
+    out = _bn_tf(
+        out, bn2[0]["scale"], bn2[0]["bias"], bn2[1]["mean"], bn2[1]["var"],
+        DECODER_BN_EPS,
+    )
+    out = tf.nn.relu(out)
+    out = (
+        tf.nn.conv2d(
+            out,
+            tf.constant(np.asarray(p_["conv2"]["conv"]["kernel"])),
+            1,
+            "VALID",
+            dilations=rate,
+        )
+        + np.asarray(p_["conv2"]["conv"]["bias"])
+    )
+    theirs = out.numpy()
+    assert ours.shape == theirs.shape == (2, 10, 14, 8)
+    np.testing.assert_allclose(ours, theirs, atol=2e-5)
+
+
+@pytest.mark.parametrize("hw", [(32, 48), (30, 42)])
+def test_tf_stem_matches_tf_nn_same(hw):
+    """flavor-'tf' stem (slim SAME conv7/s2 + maxpool3/s2,
+    tensorflow/bts.py:204-210) == tf.nn.conv2d/max_pool2d with 'SAME',
+    checked through the real encoder module (skips[0]/skips[1])."""
+    from bts_tpu.models.encoders.densenet import DenseNetEncoder
+
+    h, w = hw
+    rng = np.random.default_rng(12)
+    enc = DenseNetEncoder(
+        block_config=(1, 1, 1, 1),
+        growth_rate=8,
+        num_init_features=16,
+        bn_eps=1.1e-5,
+        tf_stem=True,
+    )
+    x = jnp.asarray(rng.normal(size=(1, h, w, 3)).astype(np.float32))
+    variables = enc.init(jax.random.key(1), x, train=False)
+    variables = jax.tree_util.tree_map(np.asarray, variables)
+    # Randomize norm0 so the BN affine is non-trivial.
+    s0 = variables["batch_stats"]["norm0"]["bn"]
+    p0 = variables["params"]["norm0"]["bn"]
+    s0["mean"] = rng.normal(size=s0["mean"].shape).astype(np.float32) * 0.2
+    s0["var"] = rng.uniform(0.5, 1.5, s0["var"].shape).astype(np.float32)
+    p0["scale"] = rng.uniform(0.5, 1.5, p0["scale"].shape).astype(np.float32)
+    p0["bias"] = rng.normal(size=p0["bias"].shape).astype(np.float32) * 0.2
+
+    skips = enc.apply(variables, x, train=False)
+
+    k = variables["params"]["conv0"]["conv"]["kernel"]
+    conv = tf.nn.conv2d(tf.constant(np.asarray(x)), tf.constant(k), 2, "SAME")
+    bn = _bn_tf(conv, p0["scale"], p0["bias"], s0["mean"], s0["var"], 1.1e-5)
+    relu0 = tf.nn.relu(bn)
+    np.testing.assert_allclose(
+        np.asarray(skips[0]), relu0.numpy(), atol=2e-5
+    )
+    pool0 = tf.nn.max_pool2d(relu0, 3, 2, "SAME")
+    np.testing.assert_allclose(
+        np.asarray(skips[1]), pool0.numpy(), atol=2e-5
+    )
+    # The asymmetric case is live on even inputs (and for the pool, on
+    # inputs whose half is also even — every /32-divisible model input).
+    if h % 2 == 0:
+        from bts_tpu.models.encoders.densenet import _same_pads
+
+        assert _same_pads(h, 7, 2) == (2, 3)
+    if h % 4 == 0:
+        assert _same_pads(h // 2, 3, 2) == (0, 1)
+
+
+def test_same_pads_matches_tf_conv_shapes():
+    """_same_pads reproduces tf.nn SAME output values for a spread of
+    sizes/kernels/strides (impulse inputs make grid shifts visible)."""
+    from bts_tpu.models.encoders.densenet import _same_pads
+
+    rng = np.random.default_rng(13)
+    for size, k, s in [(20, 7, 2), (21, 7, 2), (13, 3, 2), (16, 3, 2), (9, 3, 1)]:
+        x = np.zeros((1, size, size, 1), np.float32)
+        x[0, size // 2, size // 3, 0] = 1.0
+        x[0, 1, 1, 0] = -0.5
+        kern = rng.normal(size=(k, k, 1, 1)).astype(np.float32)
+        theirs = tf.nn.conv2d(tf.constant(x), tf.constant(kern), s, "SAME").numpy()
+        ph, pw = _same_pads(size, k, s), _same_pads(size, k, s)
+        xp = np.pad(x, ((0, 0), ph, pw, (0, 0)))
+        ours = np.asarray(
+            jax.lax.conv_general_dilated(
+                jnp.asarray(xp),
+                jnp.asarray(kern),
+                (s, s),
+                "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        )
+        np.testing.assert_allclose(ours, theirs, atol=1e-6)
+
+
+def test_resolved_flavor_sniff_is_cached(tf_model_and_ckpt, monkeypatch):
+    """The 'auto' flavor sniff opens the checkpoint once per Config
+    instance, not on every resolved_flavor/resolved_normalization access."""
+    from bts_tpu.models import convert_tf as ct
+
+    _, _, _, prefix, _ = tf_model_and_ckpt
+    calls = {"n": 0}
+    real = ct.is_tf_checkpoint
+
+    def counting(path):
+        calls["n"] += 1
+        return real(path)
+
+    monkeypatch.setattr(ct, "is_tf_checkpoint", counting)
+    cfg = Config(encoder=ENC, bts_size=NF, checkpoint_path=prefix)
+    assert cfg.resolved_flavor == "tf"
+    assert cfg.resolved_flavor == "tf"
+    assert cfg.resolved_normalization == "caffe"
+    assert calls["n"] == 1
+    # replace() re-resolves (fresh instance, fields may have changed).
+    assert cfg.replace(checkpoint_path="").resolved_flavor == "pt"

@@ -277,6 +277,46 @@ def test_checkpoint_roundtrip_async(tmp_path, tiny_model_state):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_sync_save_drains_async_before_rmtree(
+    tmp_path, tiny_model_state, monkeypatch
+):
+    """A sync save_checkpoint to a path a background async save may still
+    be writing must drain the async writer BEFORE deleting the directory
+    (else orbax's in-flight commit is rmtree'd mid-write). Guarded inside
+    save_checkpoint so every sync caller gets it, not just the preempt
+    path in loop.py."""
+    cfg, model, params, batch_stats = tiny_model_state
+    tx, _ = create_optimizer(cfg, params, num_total_steps=100)
+    state = create_train_state(params, batch_stats, tx)
+    best = ckpt_lib.BestTracker()
+    path = str(tmp_path / "model-9")
+
+    order = []
+    real_wait = ckpt_lib.wait_for_async_saves
+    real_rmtree = ckpt_lib.shutil.rmtree
+    monkeypatch.setattr(
+        ckpt_lib,
+        "wait_for_async_saves",
+        lambda: (order.append("wait"), real_wait())[1],
+    )
+    def tracking_rmtree(p, **kw):
+        # orbax rmtree's its own tmp dirs during commits: track ours only.
+        if os.path.abspath(str(p)) == os.path.abspath(path):
+            order.append("rmtree")
+        return real_rmtree(p, **kw)
+
+    monkeypatch.setattr(ckpt_lib.shutil, "rmtree", tracking_rmtree)
+
+    ckpt_lib.save_checkpoint(path, state, best, async_save=True)
+    ckpt_lib.save_checkpoint(path, state, best)  # sync overwrite, same path
+    assert "wait" in order and "rmtree" in order
+    assert order.index("wait") < order.index("rmtree")
+
+    fresh = create_train_state(params, batch_stats, tx)
+    restored, _ = ckpt_lib.restore_checkpoint(path, fresh, ckpt_lib.BestTracker())
+    assert int(restored.step) == int(state.step)
+
+
 def test_best_tracker_logic():
     t = ckpt_lib.BestTracker()
     m1 = np.array([12.0, 0.12, 0.05, 0.4, 0.07, 0.15, 0.85, 0.97, 0.99])
