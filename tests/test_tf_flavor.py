@@ -505,6 +505,263 @@ def test_same_pads_matches_tf_conv_shapes():
         np.testing.assert_allclose(ours, theirs, atol=1e-6)
 
 
+# ---------------- full-model tf.nn oracle for flavor='tf' ----------------
+#
+# Strongest TF-parity evidence available without the real zoo checkpoints:
+# rebuild the ENTIRE reference graph (tensorflow/bts.py:177-345 — densenet
+# encoder, BTS decoder, custom LPG op) with modern tf.nn ops, pulling
+# weights from the synthetic checkpoint by TF variable name with an
+# INDEPENDENT slim auto-numbering walk (counters incremented in graph-build
+# order, exactly as slim names variables). Any error in our converter's
+# name map, any padding/BN/activation/concat-order discrepancy in the
+# flavor='tf' modules, or any plane-decode/LPG drift shows up as a numeric
+# mismatch in one of the five outputs.
+
+
+def _lpg_reference(plane_eq: np.ndarray, upratio: int) -> np.ndarray:
+    """The custom TF op's forward math (tensorflow/custom_layer/
+    local_planar_guidance.cc:79-117), re-derived: per output pixel,
+    u/v are the sub-cell offsets centered on the cell, and
+    depth = n4 / (n1*u + n2*v + n3). `focal` is read but unused there."""
+    r = upratio
+    pe = plane_eq.repeat(r, axis=1).repeat(r, axis=2)
+    H, W = pe.shape[1], pe.shape[2]
+    v = (((np.arange(H) % r) - (r - 1) / 2.0) / r).astype(np.float32)
+    u = (((np.arange(W) % r) - (r - 1) / 2.0) / r).astype(np.float32)
+    denom = (
+        pe[..., 0] * u[None, None, :]
+        + pe[..., 1] * v[None, :, None]
+        + pe[..., 2]
+    )
+    return pe[..., 3] / denom
+
+
+def _tf_graph_oracle(truth, image_np, max_depth, nf):
+    """Forward the reference TF graph (densenet121_bts, mode 'test',
+    dataset 'nyu') on tf.nn ops, reading weights from `truth` by name.
+    Returns (lpg8x8, lpg4x4, lpg2x2, reduc1x1, depth_est) as numpy."""
+    enc = "model/encoder/densenet121/"
+    dec = "model/decoder/"
+
+    def V(name):
+        return tf.constant(truth[name])
+
+    def bn_named(x, name):
+        # slim.batch_norm(is_training=False), eps=1.1e-5 everywhere
+        # (tensorflow/bts.py:188-192 encoder, :239-243 decoder).
+        return tf.nn.batch_normalization(
+            x,
+            V(name + "/moving_mean"),
+            V(name + "/moving_variance"),
+            V(name + "/beta"),
+            V(name + "/gamma"),
+            1.1e-5,
+        )
+
+    # ---- encoder (tensorflow/bts.py:177-235): slim convs are SAME,
+    # bias-free, activation-free; denseconv = BN -> relu -> conv ----
+    def denseconv(x, scope, rate=1):
+        x = bn_named(x, enc + scope + "/BatchNorm")
+        x = tf.nn.relu(x)
+        return tf.nn.conv2d(
+            x, V(enc + scope + "/Conv/weights"), 1, "SAME", dilations=rate
+        )
+
+    net = tf.nn.conv2d(tf.constant(image_np), V(enc + "conv1/weights"), 2, "SAME")
+    net = bn_named(net, enc + "BatchNorm")
+    net = tf.nn.relu(net)
+    skips = [net]
+    net = tf.nn.max_pool2d(net, 3, 2, "SAME")
+    skips.append(net)
+    num_layers = [6, 12, 24, 16]
+    for i in range(4):
+        for j in range(num_layers[i]):
+            blk = f"dense_block{i + 1}/conv_block{j + 1}"
+            out = denseconv(net, blk + "/x1")
+            out = denseconv(out, blk + "/x2", rate=1)
+            net = tf.concat([net, out], 3)
+        if i < 3:
+            net = denseconv(net, f"transition_block{i + 1}/blk")
+            # slim.avg_pool2d(out, 2): stride=kernel, VALID (slim default).
+            net = tf.nn.avg_pool2d(net, 2, 2, "VALID")
+            if i < 2:
+                skips.append(net)
+    net = bn_named(net, enc + "final_block/BatchNorm")
+    dense_features = tf.nn.relu(net)
+
+    # ---- decoder (tensorflow/bts.py:237-345): independent slim counters,
+    # incremented in graph-build order ----
+    counters = {"Conv": -1, "BatchNorm": -1}
+
+    def nxt(kind):
+        counters[kind] += 1
+        n = counters[kind]
+        return dec + (kind if n == 0 else f"{kind}_{n}")
+
+    def slim_conv(x, rate=1, act="elu"):
+        s = nxt("Conv")
+        out = (
+            tf.nn.conv2d(x, V(s + "/weights"), 1, "VALID", dilations=rate)
+            + V(s + "/biases")
+        )
+        if act == "elu":
+            return tf.nn.elu(out)
+        if act == "sigmoid":
+            return tf.nn.sigmoid(out)
+        return out
+
+    def slim_bn(x):
+        return bn_named(x, nxt("BatchNorm"))
+
+    def conv(x, k, act="elu"):
+        p = (k - 1) // 2
+        x = tf.pad(x, [[0, 0], [p, p], [p, p], [0, 0]])
+        return slim_conv(x, act=act)
+
+    def resize_nn(x, h, w):
+        return tf.compat.v1.image.resize_nearest_neighbor(
+            x, [h, w], align_corners=True
+        )
+
+    def upconv(x):
+        h, w = int(x.shape[1]), int(x.shape[2])
+        return conv(resize_nn(x, 2 * h, 2 * w), 3)
+
+    def atrous(x, rate, bn_first=True):
+        p = 1 + (rate - 1)  # pk + pr, tensorflow/bts.py:83-86
+        out = tf.pad(x, [[0, 0], [p, p], [p, p], [0, 0]])
+        if bn_first:
+            out = slim_bn(out)
+        out = tf.nn.relu(out)
+        out = slim_conv(out)  # 1x1 2C, arg-scope ELU + bias
+        out = slim_bn(out)
+        out = tf.nn.relu(out)
+        return slim_conv(out, rate=rate, act=None)  # 3x3 dilated VALID
+
+    def reduction_1x1(net, num_filters, is_final=False):
+        # tensorflow/bts.py:145-166 (reference pi constant kept verbatim).
+        while num_filters >= 4:
+            if num_filters < 8:
+                if is_final:
+                    net = conv(net, 1, act="sigmoid")
+                else:
+                    net = conv(net, 1, act=None)
+                    theta = tf.nn.sigmoid(net[..., 0]) * 3.1415926535 / 6
+                    phi = tf.nn.sigmoid(net[..., 1]) * 3.1415926535 * 2
+                    dist = tf.nn.sigmoid(net[..., 2]) * max_depth
+                    net = tf.stack(
+                        [
+                            tf.math.sin(theta) * tf.math.cos(phi),
+                            tf.math.sin(theta) * tf.math.sin(phi),
+                            tf.math.cos(theta),
+                            dist,
+                        ],
+                        axis=3,
+                    )
+                break
+            net = conv(net, 1)
+            num_filters //= 2
+        return net
+
+    def plane_head(feat, width, upratio):
+        pe = reduction_1x1(feat, width)
+        normal = tf.nn.l2_normalize(pe[..., 0:3], axis=3)
+        pe = tf.concat([normal, pe[..., 3:4]], 3)
+        depth = _lpg_reference(pe.numpy(), upratio)
+        return tf.constant(depth[..., None] / max_depth)
+
+    upconv5 = upconv(dense_features)  # H/16
+    upconv5 = slim_bn(upconv5)
+    concat5 = tf.concat([upconv5, skips[3]], 3)
+    iconv5 = conv(concat5, 3)
+
+    upconv4 = upconv(iconv5)  # H/8
+    upconv4 = slim_bn(upconv4)
+    concat4 = tf.concat([upconv4, skips[2]], 3)
+    iconv4 = conv(concat4, 3)
+    iconv4 = slim_bn(iconv4)
+
+    daspp_3 = atrous(iconv4, 3, bn_first=False)
+    concat4_2 = tf.concat([concat4, daspp_3], 3)
+    daspp_6 = atrous(concat4_2, 6)
+    concat4_3 = tf.concat([concat4_2, daspp_6], 3)
+    daspp_12 = atrous(concat4_3, 12)
+    concat4_4 = tf.concat([concat4_3, daspp_12], 3)
+    daspp_18 = atrous(concat4_4, 18)
+    concat4_5 = tf.concat([concat4_4, daspp_18], 3)
+    daspp_24 = atrous(concat4_5, 24)
+    concat4_daspp = tf.concat(
+        [iconv4, daspp_3, daspp_6, daspp_12, daspp_18, daspp_24], 3
+    )
+    daspp_feat = conv(concat4_daspp, 3)
+
+    depth_8x8_scaled = plane_head(daspp_feat, nf // 4, 8)
+    h, w = int(depth_8x8_scaled.shape[1]), int(depth_8x8_scaled.shape[2])
+    depth_8x8_scaled_ds = resize_nn(depth_8x8_scaled, h // 4, w // 4)
+
+    upconv3 = upconv(daspp_feat)  # H/4
+    upconv3 = slim_bn(upconv3)
+    concat3 = tf.concat([upconv3, skips[1], depth_8x8_scaled_ds], 3)
+    iconv3 = conv(concat3, 3)
+
+    depth_4x4_scaled = plane_head(iconv3, nf // 8, 4)
+    depth_4x4_scaled_ds = resize_nn(depth_4x4_scaled, h // 2, w // 2)
+
+    upconv2 = upconv(iconv3)  # H/2
+    upconv2 = slim_bn(upconv2)
+    concat2 = tf.concat([upconv2, skips[0], depth_4x4_scaled_ds], 3)
+    iconv2 = conv(concat2, 3)
+
+    depth_2x2_scaled = plane_head(iconv2, nf // 16, 2)
+
+    upconv1 = upconv(iconv2)  # H
+    # TF passes the CURRENT width into the final reduc (bts.py:316).
+    reduc1x1 = reduction_1x1(upconv1, nf // 16, is_final=True)
+    concat1 = tf.concat(
+        [upconv1, reduc1x1, depth_2x2_scaled, depth_4x4_scaled,
+         depth_8x8_scaled], 3
+    )
+    iconv1 = conv(concat1, 3)
+    depth_est = max_depth * conv(iconv1, 3, act="sigmoid")  # nyu: no focal
+
+    return tuple(
+        t.numpy()
+        for t in (
+            depth_8x8_scaled, depth_4x4_scaled, depth_2x2_scaled,
+            reduc1x1, depth_est,
+        )
+    )
+
+
+@pytest.mark.medium
+def test_full_model_matches_tf_graph_oracle(tf_model_and_ckpt):
+    """flavor='tf' forward on converted weights == the complete reference
+    TF graph rebuilt on tf.nn ops, for all five outputs. The oracle's slim
+    numbering is independent of tf_decoder_name_map: a desync anywhere
+    routes weights into the wrong layer and fails numerically."""
+    model, params, stats, prefix, truth = tf_model_and_ckpt
+    tf_vars = convert_tf.load_tf_checkpoint(prefix)
+    new_p, new_s, _ = convert_tf.convert_full_tf(tf_vars, params, stats, ENC, NF)
+
+    rng = np.random.default_rng(21)
+    image = rng.normal(size=(2, H, W, 3)).astype(np.float32)
+    focal = jnp.asarray([518.8579, 518.8579], jnp.float32)
+
+    ours = model.apply(
+        {"params": new_p, "batch_stats": new_s},
+        jnp.asarray(image),
+        focal,
+        train=False,
+    )
+    theirs = _tf_graph_oracle(truth, image, model.max_depth, NF)
+
+    names = ["lpg8x8", "lpg4x4", "lpg2x2", "reduc1x1", "depth_est"]
+    for name, a, b in zip(names, ours, theirs):
+        a = np.asarray(a)
+        assert a.shape == b.shape == (2, H, W, 1), name
+        np.testing.assert_allclose(a, b, atol=1e-3, rtol=1e-3, err_msg=name)
+
+
 def test_resolved_flavor_sniff_is_cached(tf_model_and_ckpt, monkeypatch):
     """The 'auto' flavor sniff opens the checkpoint once per Config
     instance, not on every resolved_flavor/resolved_normalization access."""
