@@ -505,6 +505,70 @@ def test_same_pads_matches_tf_conv_shapes():
         np.testing.assert_allclose(ours, theirs, atol=1e-6)
 
 
+@pytest.mark.medium
+def test_tf_flavor_fine_tune_step(tf_model_and_ckpt):
+    """A TF-zoo checkpoint can be FINE-TUNED: an optimizer step on the
+    flavor='tf' model (converted weights) runs the full training machinery
+    — silog loss, frozen-BN predicate, AdamW groups — on the tf tree,
+    which carries decoder conv biases the PT tree doesn't. The reference
+    offers the same continuation via tensorflow/bts_main.py
+    --checkpoint_path restore (:222-246)."""
+    from bts_tpu.parallel.mesh import make_mesh, shard_batch
+    from bts_tpu.training.optim import create_optimizer, frozen_predicate
+    from bts_tpu.training.state import (
+        create_train_state,
+        jit_train_step,
+        make_train_step,
+    )
+
+    model, params, stats, prefix, _ = tf_model_and_ckpt
+    tf_vars = convert_tf.load_tf_checkpoint(prefix)
+    params, stats, _ = convert_tf.convert_full_tf(tf_vars, params, stats, ENC, NF)
+
+    cfg = Config(
+        encoder=ENC,
+        bts_size=NF,
+        model_flavor="tf",
+        dataset="nyu",
+        max_depth=10.0,
+        batch_size=2,
+        input_height=H,
+        input_width=W,
+        learning_rate=1e-4,
+    )
+    tx, _ = create_optimizer(cfg, params, num_total_steps=10)
+    mesh = make_mesh(1)
+    state = create_train_state(params, stats, tx, mesh=mesh)
+    step_fn = jit_train_step(make_train_step(model, tx, cfg), mesh)
+
+    rng = np.random.default_rng(5)
+    batch = shard_batch(
+        {
+            "image": rng.normal(size=(2, H, W, 3)).astype(np.float32),
+            "depth": rng.uniform(0.5, 9.5, size=(2, H, W, 1)).astype(np.float32),
+            "focal": np.full((2,), 518.8579, np.float32),
+        },
+        mesh,
+    )
+    before = jax.tree_util.tree_map(np.asarray, params)
+    state2, metrics = step_fn(state, batch)
+    assert np.isfinite(float(metrics["loss"])) and float(metrics["loss"]) > 0
+
+    pred = frozen_predicate(cfg)
+    flat_before = _flatten(before)
+    flat_after = _flatten(jax.tree_util.tree_map(np.asarray, state2.params))
+    moved_bias = 0
+    for path, b in flat_before.items():
+        a = flat_after[path]
+        path_str = "/".join(path)
+        if pred(path_str):
+            np.testing.assert_array_equal(a, b, err_msg=path_str)
+        elif path[-1] == "bias" and path[0] == "decoder" and (a != b).any():
+            moved_bias += 1
+    # The tf-only decoder conv biases are trainable and received updates.
+    assert moved_bias > 10
+
+
 # ---------------- full-model tf.nn oracle for flavor='tf' ----------------
 #
 # Strongest TF-parity evidence available without the real zoo checkpoints:
