@@ -141,6 +141,81 @@ def param_sum_avg(params) -> float:
     return float(_param_sum_avg_device(params))
 
 
+def restore_training_start(cfg: Config, state, best, is_primary: bool):
+    """Apply --checkpoint_path to a fresh train state. Returns (state, best).
+
+    Three accepted formats (mirrors checkpoint.load_any_checkpoint):
+      * an orbax run directory saved by this framework — full resume
+        (params, optimizer state, step, best-metric state; the PT
+        reference's semantics, pytorch/bts_main.py:376-397);
+      * a reference TF checkpoint prefix/dir — weights + global_step carry
+        over, the optimizer starts fresh (the TF reference's
+        Saver.restore resume, tensorflow/bts_main.py:234-246; TF Adam
+        slot variables have no optax mapping);
+      * a reference torch checkpoint file — weights, plus global_step when
+        the dict carries one (pytorch/bts_main.py:376-397 restores it; zoo
+        files saved by the reference trainer do, bare state dicts don't).
+        Optimizer state starts fresh (torch Adam moments have no optax
+        mapping).
+    Anything else raises instead of silently training from scratch.
+    """
+    if not cfg.checkpoint_path:
+        return state, best
+    from bts_tpu.models import convert_tf
+
+    if convert_tf.is_tf_checkpoint(cfg.checkpoint_path):
+        latest = convert_tf.tf_latest_checkpoint(cfg.checkpoint_path)
+        tf_vars = convert_tf.load_tf_checkpoint(latest or cfg.checkpoint_path)
+        new_p, new_s, _ = convert_tf.convert_full_tf(
+            tf_vars, state.params, state.batch_stats, cfg.encoder, cfg.bts_size
+        )
+        step = jnp.asarray(int(tf_vars.get("global_step", 0)), jnp.int32)
+        state = state.replace(params=new_p, batch_stats=new_s, step=step)
+        if is_primary:
+            print(
+                f"Loaded TF checkpoint '{cfg.checkpoint_path}' "
+                f"(global_step {int(state.step)}; fresh optimizer state)"
+            )
+        return state, best
+    if os.path.isdir(cfg.checkpoint_path):
+        state, restored_best = ckpt_lib.restore_checkpoint(
+            cfg.checkpoint_path, state, best
+        )
+        if restored_best is not None:
+            best = restored_best
+        if is_primary:
+            print(
+                f"Loaded checkpoint '{cfg.checkpoint_path}' "
+                f"(global_step {int(state.step)})"
+            )
+        return state, best
+    # Torch checkpoint file — or a missing path, which load_any_checkpoint
+    # rejects loudly.
+    new_p, new_s = ckpt_lib.load_any_checkpoint(
+        cfg.checkpoint_path, state.params, state.batch_stats, cfg=cfg
+    )
+    step = 0
+    if os.path.isfile(cfg.checkpoint_path):
+        import torch
+
+        ckpt = torch.load(
+            cfg.checkpoint_path, map_location="cpu", weights_only=False
+        )
+        if isinstance(ckpt, dict) and "global_step" in ckpt:
+            step = int(ckpt["global_step"])
+    state = state.replace(
+        params=new_p,
+        batch_stats=new_s,
+        step=jnp.asarray(step, jnp.int32),
+    )
+    if is_primary:
+        print(
+            f"Loaded weights from '{cfg.checkpoint_path}' "
+            f"(global_step {step}; fresh optimizer state)"
+        )
+    return state, best
+
+
 def train(cfg: Config, max_steps: Optional[int] = None) -> int:
     """Run training. Returns final global step, or -1 on NaN abort
     (reference contract, pytorch/bts_main.py:464-466)."""
@@ -222,17 +297,7 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> int:
     best = ckpt_lib.BestTracker()
 
     # Restore (pytorch/bts_main.py:376-397); --retrain resets step.
-    if cfg.checkpoint_path and os.path.isdir(cfg.checkpoint_path):
-        state, restored_best = ckpt_lib.restore_checkpoint(
-            cfg.checkpoint_path, state, best
-        )
-        if restored_best is not None:
-            best = restored_best
-        if is_primary:
-            print(
-                f"Loaded checkpoint '{cfg.checkpoint_path}' "
-                f"(global_step {int(state.step)})"
-            )
+    state, best = restore_training_start(cfg, state, best, is_primary)
     if cfg.retrain:
         state = state.replace(step=jnp.zeros((), jnp.int32))
 

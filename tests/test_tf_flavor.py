@@ -505,6 +505,51 @@ def test_same_pads_matches_tf_conv_shapes():
         np.testing.assert_allclose(ours, theirs, atol=1e-6)
 
 
+def test_train_resume_from_tf_checkpoint(tf_model_and_ckpt, tmp_path):
+    """--checkpoint_path at a reference TF checkpoint resumes training:
+    weights + global_step carry over (the TF reference's Saver.restore,
+    tensorflow/bts_main.py:234-246; optax state starts fresh), and a bogus
+    path raises instead of silently training from scratch."""
+    from bts_tpu.training import checkpoint as ckpt_lib
+    from bts_tpu.training.loop import restore_training_start
+    from bts_tpu.training.optim import create_optimizer
+    from bts_tpu.training.state import create_train_state
+
+    model, params, stats, prefix, truth = tf_model_and_ckpt
+    cfg = Config(
+        encoder=ENC,
+        bts_size=NF,
+        checkpoint_path=prefix,
+        batch_size=2,
+        input_height=H,
+        input_width=W,
+    )
+    assert cfg.resolved_flavor == "tf"
+    tx, _ = create_optimizer(cfg, params, num_total_steps=10)
+    state = create_train_state(
+        jax.tree_util.tree_map(jnp.array, params),
+        jax.tree_util.tree_map(jnp.array, stats),
+        tx,
+    )
+    best = ckpt_lib.BestTracker()
+    state2, _ = restore_training_start(cfg, state, best, is_primary=True)
+    assert int(state2.step) == 777  # the checkpoint's global_step
+    np.testing.assert_array_equal(
+        np.asarray(state2.params["decoder"]["get_depth"]["conv"]["bias"]),
+        truth[
+            "model/decoder/"
+            + convert_tf.tf_decoder_name_map(NF)["get_depth/conv/bias"]
+        ],
+    )
+    with pytest.raises(FileNotFoundError):
+        restore_training_start(
+            cfg.replace(checkpoint_path=str(tmp_path / "nope")),
+            state,
+            best,
+            True,
+        )
+
+
 @pytest.mark.medium
 def test_tf_flavor_fine_tune_step(tf_model_and_ckpt):
     """A TF-zoo checkpoint can be FINE-TUNED: an optimizer step on the

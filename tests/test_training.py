@@ -333,6 +333,58 @@ def test_best_tracker_logic():
     assert t.steps[0] == 300
 
 
+def test_restore_training_start_torch_file(tmp_path, tiny_model_state):
+    """--checkpoint_path at a reference torch checkpoint FILE loads the
+    weights and carries global_step over (pytorch/bts_main.py:376-397
+    restores both; optax state starts fresh), and a missing path raises
+    instead of silently training from scratch."""
+    import torch
+    from test_convert import _synthetic_torch_state
+
+    from bts_tpu.models.convert import flax_path_to_torch_key
+    from bts_tpu.training.loop import restore_training_start
+
+    cfg, model, params, batch_stats = tiny_model_state
+    rng = np.random.default_rng(11)
+    sd_np = _synthetic_torch_state(
+        jax.tree.map(np.asarray, params),
+        jax.tree.map(np.asarray, batch_stats),
+        rng,
+    )
+    path = tmp_path / "model-123"
+    torch.save(
+        {
+            "global_step": 123,
+            "model": {k: torch.from_numpy(v) for k, v in sd_np.items()},
+        },
+        path,
+    )
+
+    tx, _ = create_optimizer(cfg, params, num_total_steps=1000)
+    state = create_train_state(params, batch_stats, tx)
+    state2, _ = restore_training_start(
+        cfg.replace(checkpoint_path=str(path)),
+        state,
+        ckpt_lib.BestTracker(),
+        True,
+    )
+    assert int(state2.step) == 123
+    leaf_path = ("decoder", "conv5", "conv", "kernel")
+    got = np.asarray(state2.params["decoder"]["conv5"]["conv"]["kernel"])
+    want = np.transpose(
+        sd_np["module." + flax_path_to_torch_key(leaf_path, got.shape)],
+        (2, 3, 1, 0),
+    )
+    np.testing.assert_array_equal(got, want)
+    with pytest.raises(FileNotFoundError):
+        restore_training_start(
+            cfg.replace(checkpoint_path=str(tmp_path / "missing")),
+            state,
+            ckpt_lib.BestTracker(),
+            True,
+        )
+
+
 def test_train_loop_end_to_end(tmp_path):
     """Two steps of the full train() driver on a synthetic dataset."""
     from bts_tpu.training.loop import train
