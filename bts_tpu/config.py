@@ -215,9 +215,12 @@ class Config:
 
     @property
     def resolved_flavor(self) -> str:
-        """'pt' or 'tf'; 'auto' sniffs for a full TF BTS checkpoint at
-        --checkpoint_path or --pretrained_model (the TF zoo's
-        bts_nyu_v2/bts_eigen_v2 models, tensorflow/README.md:89,198).
+        """'pt' or 'tf'; 'auto' sniffs --checkpoint_path/--pretrained_model
+        for a full TF BTS checkpoint (the TF zoo's bts_nyu_v2/bts_eigen_v2
+        models, tensorflow/README.md:89,198) OR an orbax checkpoint this
+        framework saved from a flavor='tf' run (so resuming / serving a
+        tf-flavor run dir rebuilds the tf graph without an explicit
+        --model_flavor tf).
 
         The 'auto' sniff opens the checkpoint and enumerates its variable
         map, so the result is cached per instance — create_model, the
@@ -247,6 +250,14 @@ class Config:
             if is_tf_checkpoint(path) and is_full_tf_bts_checkpoint(path):
                 flavor = "tf"
                 break
+            import os
+
+            if os.path.isdir(path):
+                from bts_tpu.training.checkpoint import orbax_saved_tf_flavor
+
+                if orbax_saved_tf_flavor(path):
+                    flavor = "tf"
+                    break
         self._resolved_flavor_cache = (key, flavor)
         return flavor
 

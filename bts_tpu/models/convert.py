@@ -222,11 +222,36 @@ def convert_state_dict(
     return params, stats
 
 
-def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
+def load_torch_checkpoint(path: str, return_meta: bool = False):
     """Read a reference checkpoint file (torch.save dict with 'model' key,
-    pytorch/bts_main.py:500-503) or a bare state dict -> numpy dict."""
+    pytorch/bts_main.py:500-503) or a bare state dict -> numpy dict.
+
+    With return_meta=True also returns the non-weight training metadata the
+    reference trainer saves alongside (pytorch/bts_main.py:500-503,532-539):
+    {'global_step': int, 'best': {best_eval_measures_*, best_eval_steps}},
+    each key present only when the checkpoint carries it (zoo releases and
+    bare state dicts don't)."""
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     state = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
-    return {k: v.detach().numpy() for k, v in state.items()}
+    tensors = {k: v.detach().numpy() for k, v in state.items()}
+    if not return_meta:
+        return tensors
+    meta: Dict[str, Any] = {}
+    if isinstance(ckpt, dict):
+        if "global_step" in ckpt:
+            meta["global_step"] = int(ckpt["global_step"])
+        best_keys = (
+            "best_eval_measures_lower_better",
+            "best_eval_measures_higher_better",
+            "best_eval_steps",
+        )
+        if all(k in ckpt for k in best_keys):
+            meta["best"] = {
+                k: np.asarray(
+                    ckpt[k].cpu() if hasattr(ckpt[k], "cpu") else ckpt[k]
+                )
+                for k in best_keys
+            }
+    return tensors, meta

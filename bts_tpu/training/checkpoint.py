@@ -195,7 +195,32 @@ def load_params_only(path: str, template_params=None, template_stats=None):
     return restored["params"], restored.get("batch_stats", {})
 
 
-def load_any_checkpoint(path: str, template_params=None, template_stats=None, cfg=None):
+def orbax_saved_tf_flavor(path: str) -> bool:
+    """True when the orbax checkpoint at `path` was saved from a
+    flavor='tf' model — detected structurally (the TF-flavor decoder
+    declares conv bias leaves the PT decoder doesn't, models/decoder.py).
+    Reads only the checkpoint METADATA, no tensor data. False for
+    non-orbax paths or checkpoints without a params tree, so callers can
+    probe blindly."""
+    try:
+        with ocp.PyTreeCheckpointer() as ckptr:
+            meta = ckptr.metadata(path)
+        # orbax returns StepMetadata(item_metadata=TreeMetadata(tree=...));
+        # unwrap defensively so older/newer orbax shapes both work.
+        tree = getattr(meta, "item_metadata", meta)
+        tree = getattr(tree, "tree", tree)
+        return "bias" in tree["params"]["decoder"]["get_depth"]["conv"]
+    except Exception:
+        return False
+
+
+def load_any_checkpoint(
+    path: str,
+    template_params=None,
+    template_stats=None,
+    cfg=None,
+    return_meta: bool = False,
+):
     """Load params/batch_stats from any supported checkpoint format:
 
       * an orbax directory saved by this framework (full-training or
@@ -206,6 +231,13 @@ def load_any_checkpoint(path: str, template_params=None, template_stats=None, cf
         tensorflow/README.md:89,198) via models/convert_tf.convert_full_tf
         — requires templates + cfg, and the model must be built with
         flavor='tf' (cfg.resolved_flavor auto-selects it).
+
+    With return_meta=True returns (params, stats, meta) where meta carries
+    whatever training bookkeeping the checkpoint format offers:
+    'global_step' (int) and 'best' (a BestTracker.from_dict-compatible
+    dict), each present only when stored. This is the single place the
+    3-format dispatch lives — train-mode resume (loop.restore_training_start)
+    and the test/eval CLIs route through it.
     """
     from bts_tpu.models import convert_tf
 
@@ -220,10 +252,15 @@ def load_any_checkpoint(path: str, template_params=None, template_stats=None, cf
         params, stats, _ = convert_tf.convert_full_tf(
             tf_vars, template_params, template_stats, cfg.encoder, cfg.bts_size
         )
-        return params, stats
+        if not return_meta:
+            return params, stats
+        meta = {}
+        if "global_step" in tf_vars:
+            meta["global_step"] = int(tf_vars["global_step"])
+        return params, stats, meta
     path = os.path.abspath(path)
     if os.path.isfile(path):
-        # Reference torch zoo checkpoint.
+        # Reference torch checkpoint (zoo release or trainer save).
         if template_params is None:
             raise ValueError(
                 "loading a torch checkpoint needs model templates"
@@ -233,9 +270,15 @@ def load_any_checkpoint(path: str, template_params=None, template_stats=None, cf
             load_torch_checkpoint,
         )
 
-        return convert_state_dict(
-            load_torch_checkpoint(path), template_params, template_stats
+        if not return_meta:
+            return convert_state_dict(
+                load_torch_checkpoint(path), template_params, template_stats
+            )
+        tensors, meta = load_torch_checkpoint(path, return_meta=True)
+        params, stats = convert_state_dict(
+            tensors, template_params, template_stats
         )
+        return params, stats, meta
     if not os.path.isdir(path):
         raise FileNotFoundError(
             f"No checkpoint at '{path}'. Expected an orbax directory saved "
@@ -247,7 +290,14 @@ def load_any_checkpoint(path: str, template_params=None, template_stats=None, cf
         restored = ckptr.restore(path)
     params = restored["params"]
     stats = restored.get("batch_stats", {}) or {}
-    return params, stats
+    if not return_meta:
+        return params, stats
+    meta = {}
+    if "global_step" in restored:
+        meta["global_step"] = int(restored["global_step"])
+    if restored.get("best") is not None:
+        meta["best"] = restored["best"]
+    return params, stats, meta
 
 
 def average_checkpoints(paths):

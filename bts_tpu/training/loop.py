@@ -34,7 +34,7 @@ from bts_tpu.evaluation.online import make_eval_forward, run_online_eval
 from bts_tpu.models.bts import create_model, init_model
 from bts_tpu.parallel.mesh import make_mesh, replicate_tree, shard_batch
 from bts_tpu.training import checkpoint as ckpt_lib
-from bts_tpu.training.optim import create_optimizer
+from bts_tpu.training.optim import advance_schedule_count, create_optimizer
 from bts_tpu.training.snapshot import snapshot_run
 from bts_tpu.training.state import (
     create_train_state,
@@ -149,35 +149,24 @@ def restore_training_start(cfg: Config, state, best, is_primary: bool):
         (params, optimizer state, step, best-metric state; the PT
         reference's semantics, pytorch/bts_main.py:376-397);
       * a reference TF checkpoint prefix/dir — weights + global_step carry
-        over, the optimizer starts fresh (the TF reference's
-        Saver.restore resume, tensorflow/bts_main.py:234-246; TF Adam
-        slot variables have no optax mapping);
-      * a reference torch checkpoint file — weights, plus global_step when
-        the dict carries one (pytorch/bts_main.py:376-397 restores it; zoo
-        files saved by the reference trainer do, bare state dicts don't).
-        Optimizer state starts fresh (torch Adam moments have no optax
-        mapping).
+        over (the TF reference's Saver.restore resume,
+        tensorflow/bts_main.py:234-246);
+      * a reference torch checkpoint file — weights, plus global_step and
+        the best-eval tracker when the dict carries them
+        (pytorch/bts_main.py:376-397 restores all three; trainer saves do,
+        zoo releases and bare state dicts don't).
+    For both reference formats the optimizer MOMENTS start fresh (TF/torch
+    Adam slots have no optax mapping) but the LR schedule is advanced to
+    the restored step, matching the references' global_step-keyed decay.
     Anything else raises instead of silently training from scratch.
     """
     if not cfg.checkpoint_path:
         return state, best
     from bts_tpu.models import convert_tf
 
-    if convert_tf.is_tf_checkpoint(cfg.checkpoint_path):
-        latest = convert_tf.tf_latest_checkpoint(cfg.checkpoint_path)
-        tf_vars = convert_tf.load_tf_checkpoint(latest or cfg.checkpoint_path)
-        new_p, new_s, _ = convert_tf.convert_full_tf(
-            tf_vars, state.params, state.batch_stats, cfg.encoder, cfg.bts_size
-        )
-        step = jnp.asarray(int(tf_vars.get("global_step", 0)), jnp.int32)
-        state = state.replace(params=new_p, batch_stats=new_s, step=step)
-        if is_primary:
-            print(
-                f"Loaded TF checkpoint '{cfg.checkpoint_path}' "
-                f"(global_step {int(state.step)}; fresh optimizer state)"
-            )
-        return state, best
-    if os.path.isdir(cfg.checkpoint_path):
+    if os.path.isdir(cfg.checkpoint_path) and not convert_tf.is_tf_checkpoint(
+        cfg.checkpoint_path
+    ):
         state, restored_best = ckpt_lib.restore_checkpoint(
             cfg.checkpoint_path, state, best
         )
@@ -189,29 +178,31 @@ def restore_training_start(cfg: Config, state, best, is_primary: bool):
                 f"(global_step {int(state.step)})"
             )
         return state, best
-    # Torch checkpoint file — or a missing path, which load_any_checkpoint
-    # rejects loudly.
-    new_p, new_s = ckpt_lib.load_any_checkpoint(
-        cfg.checkpoint_path, state.params, state.batch_stats, cfg=cfg
+    # Reference TF prefix/dir or torch file — or a missing path, which
+    # load_any_checkpoint rejects loudly. One dispatch for all formats.
+    new_p, new_s, meta = ckpt_lib.load_any_checkpoint(
+        cfg.checkpoint_path,
+        state.params,
+        state.batch_stats,
+        cfg=cfg,
+        return_meta=True,
     )
-    step = 0
-    if os.path.isfile(cfg.checkpoint_path):
-        import torch
-
-        ckpt = torch.load(
-            cfg.checkpoint_path, map_location="cpu", weights_only=False
-        )
-        if isinstance(ckpt, dict) and "global_step" in ckpt:
-            step = int(ckpt["global_step"])
+    step = int(meta.get("global_step", 0))
     state = state.replace(
         params=new_p,
         batch_stats=new_s,
         step=jnp.asarray(step, jnp.int32),
+        # The poly LR must continue from the restored step (both references
+        # key it on global_step); the fresh optax schedule would otherwise
+        # silently restart at base_lr while the logs print the decayed one.
+        opt_state=advance_schedule_count(state.opt_state, step),
     )
+    if meta.get("best") is not None:
+        best = ckpt_lib.BestTracker.from_dict(meta["best"])
     if is_primary:
         print(
             f"Loaded weights from '{cfg.checkpoint_path}' "
-            f"(global_step {step}; fresh optimizer state)"
+            f"(global_step {step}; fresh optimizer moments)"
         )
     return state, best
 

@@ -97,6 +97,39 @@ def param_labels(params: Dict[str, Any], cfg: Config):
     return jax.tree_util.tree_map_with_path(label, params)
 
 
+def advance_schedule_count(opt_state, step: int):
+    """Position every LR-schedule state in `opt_state` at `step`.
+
+    Used when resuming from a reference (TF/torch) checkpoint: weights and
+    global_step carry over but the optax state starts fresh, and the poly
+    LR must continue from the restored step like both references do
+    (pytorch/bts_main.py:456-458 keys LR on global_step;
+    tensorflow/bts_main.py:136-139 on the restored global_step variable).
+    Without this the APPLIED lr restarts at base_lr while the logs print
+    the global_step-decayed value. Only ScaleByScheduleState is touched:
+    Adam's bias-correction count stays 0, the correct correction for the
+    fresh (zero) moments.
+    """
+    import jax.numpy as jnp
+
+    c = jnp.asarray(step, jnp.int32)
+
+    def walk(node):
+        if isinstance(node, optax.ScaleByScheduleState):
+            return optax.ScaleByScheduleState(count=c)
+        if isinstance(node, tuple) and hasattr(node, "_fields"):
+            return type(node)(*(walk(x) for x in node))
+        if isinstance(node, tuple):
+            return tuple(walk(x) for x in node)
+        if isinstance(node, list):
+            return [walk(x) for x in node]
+        if isinstance(node, dict):
+            return {k: walk(v) for k, v in node.items()}
+        return node
+
+    return walk(opt_state)
+
+
 def create_optimizer(cfg: Config, params, num_total_steps: int):
     """(optimizer, schedule) with reference param groups + freezing."""
     schedule = polynomial_decay(

@@ -534,6 +534,30 @@ def test_train_resume_from_tf_checkpoint(tf_model_and_ckpt, tmp_path):
     best = ckpt_lib.BestTracker()
     state2, _ = restore_training_start(cfg, state, best, is_primary=True)
     assert int(state2.step) == 777  # the checkpoint's global_step
+    # The APPLIED poly LR must continue from the restored step (both
+    # references key it on global_step): the optax schedule counts advance
+    # with the step while Adam's bias-correction counts stay 0 for the
+    # fresh moments.
+    import optax
+
+    sched = [
+        int(leaf.count)
+        for leaf in jax.tree_util.tree_leaves(
+            state2.opt_state,
+            is_leaf=lambda x: isinstance(x, optax.ScaleByScheduleState),
+        )
+        if isinstance(leaf, optax.ScaleByScheduleState)
+    ]
+    adam = [
+        int(leaf.count)
+        for leaf in jax.tree_util.tree_leaves(
+            state2.opt_state,
+            is_leaf=lambda x: isinstance(x, optax.ScaleByAdamState),
+        )
+        if isinstance(leaf, optax.ScaleByAdamState)
+    ]
+    assert sched and all(c == 777 for c in sched), sched
+    assert adam and all(c == 0 for c in adam), adam
     np.testing.assert_array_equal(
         np.asarray(state2.params["decoder"]["get_depth"]["conv"]["bias"]),
         truth[
@@ -548,6 +572,36 @@ def test_train_resume_from_tf_checkpoint(tf_model_and_ckpt, tmp_path):
             best,
             True,
         )
+
+
+def test_resolved_flavor_sniffs_tf_flavor_orbax_dir(
+    tf_model_and_ckpt, tmp_path
+):
+    """An orbax checkpoint saved from a flavor='tf' run resolves back to
+    'tf' (so resume/serve on a tf-flavor run dir rebuilds the right graph
+    without an explicit --model_flavor); a PT-shaped tree stays 'pt'."""
+    from bts_tpu.models.convert import _flatten as fl
+    from bts_tpu.models.convert import _unflatten
+    from bts_tpu.training.checkpoint import save_params_only
+
+    _, params, stats, _, _ = tf_model_and_ckpt
+    tf_dir = str(tmp_path / "tf_run")
+    save_params_only(tf_dir, params, stats)
+    assert Config(encoder=ENC, bts_size=NF, checkpoint_path=tf_dir
+                  ).resolved_flavor == "tf"
+
+    # Same tree with the decoder biases dropped == a PT-flavor save.
+    pt_params = _unflatten(
+        {
+            p: v
+            for p, v in fl(params).items()
+            if not (p[0] == "decoder" and p[-1] == "bias")
+        }
+    )
+    pt_dir = str(tmp_path / "pt_run")
+    save_params_only(pt_dir, pt_params, stats)
+    assert Config(encoder=ENC, bts_size=NF, checkpoint_path=pt_dir
+                  ).resolved_flavor == "pt"
 
 
 @pytest.mark.medium

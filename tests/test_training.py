@@ -356,19 +356,43 @@ def test_restore_training_start_torch_file(tmp_path, tiny_model_state):
         {
             "global_step": 123,
             "model": {k: torch.from_numpy(v) for k, v in sd_np.items()},
+            # The reference trainer also persists the best-eval tracker
+            # (pytorch/bts_main.py:532-539) — restored into BestTracker.
+            "best_eval_measures_lower_better": torch.tensor(
+                [11.0, 0.11, 0.05, 0.4, 0.07, 0.15]
+            ),
+            "best_eval_measures_higher_better": torch.tensor(
+                [0.85, 0.97, 0.99]
+            ),
+            "best_eval_steps": torch.tensor([100] * 9),
         },
         path,
     )
 
     tx, _ = create_optimizer(cfg, params, num_total_steps=1000)
     state = create_train_state(params, batch_stats, tx)
-    state2, _ = restore_training_start(
+    state2, best2 = restore_training_start(
         cfg.replace(checkpoint_path=str(path)),
         state,
         ckpt_lib.BestTracker(),
         True,
     )
     assert int(state2.step) == 123
+    # Best tracker restored: a non-improving eval registers no new bests.
+    measures = np.array([12.0, 0.12, 0.06, 0.5, 0.08, 0.16, 0.80, 0.90, 0.95])
+    assert best2.update(measures, 124) == []
+    # LR schedule continues from the restored step.
+    import optax
+
+    sched = [
+        int(leaf.count)
+        for leaf in jax.tree_util.tree_leaves(
+            state2.opt_state,
+            is_leaf=lambda x: isinstance(x, optax.ScaleByScheduleState),
+        )
+        if isinstance(leaf, optax.ScaleByScheduleState)
+    ]
+    assert sched and all(c == 123 for c in sched), sched
     leaf_path = ("decoder", "conv5", "conv", "kernel")
     got = np.asarray(state2.params["decoder"]["conv5"]["conv"]["kernel"])
     want = np.transpose(
