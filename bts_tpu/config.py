@@ -192,10 +192,15 @@ class Config:
         """
         if self.normalization == "imagenet":
             return "imagenet"
+        if self.normalization == "caffe_unscaled":
+            # Already-resolved style: snapshot_run pins RESOLVED values into
+            # arguments.txt for replay, so every resolved output must also
+            # be a valid input (non-densenet caffe runs resolve to this).
+            return "caffe_unscaled"
         if self.normalization not in ("caffe", "auto"):
             raise ValueError(
-                f"normalization must be 'imagenet', 'caffe' or 'auto' "
-                f"(got {self.normalization!r})"
+                f"normalization must be 'imagenet', 'caffe', "
+                f"'caffe_unscaled' or 'auto' (got {self.normalization!r})"
             )
         caffe = (
             "caffe" if self.encoder.startswith("densenet") else "caffe_unscaled"

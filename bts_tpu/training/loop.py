@@ -142,7 +142,8 @@ def param_sum_avg(params) -> float:
 
 
 def restore_training_start(cfg: Config, state, best, is_primary: bool):
-    """Apply --checkpoint_path to a fresh train state. Returns (state, best).
+    """Apply --checkpoint_path (and --retrain) to a fresh train state.
+    Returns (state, best).
 
     Three accepted formats (mirrors checkpoint.load_any_checkpoint):
       * an orbax run directory saved by this framework — full resume
@@ -160,11 +161,11 @@ def restore_training_start(cfg: Config, state, best, is_primary: bool):
     the restored step, matching the references' global_step-keyed decay.
     Anything else raises instead of silently training from scratch.
     """
-    if not cfg.checkpoint_path:
-        return state, best
     from bts_tpu.models import convert_tf
 
-    if os.path.isdir(cfg.checkpoint_path) and not convert_tf.is_tf_checkpoint(
+    if not cfg.checkpoint_path:
+        pass
+    elif os.path.isdir(cfg.checkpoint_path) and not convert_tf.is_tf_checkpoint(
         cfg.checkpoint_path
     ):
         state, restored_best = ckpt_lib.restore_checkpoint(
@@ -177,32 +178,42 @@ def restore_training_start(cfg: Config, state, best, is_primary: bool):
                 f"Loaded checkpoint '{cfg.checkpoint_path}' "
                 f"(global_step {int(state.step)})"
             )
-        return state, best
-    # Reference TF prefix/dir or torch file — or a missing path, which
-    # load_any_checkpoint rejects loudly. One dispatch for all formats.
-    new_p, new_s, meta = ckpt_lib.load_any_checkpoint(
-        cfg.checkpoint_path,
-        state.params,
-        state.batch_stats,
-        cfg=cfg,
-        return_meta=True,
-    )
-    step = int(meta.get("global_step", 0))
-    state = state.replace(
-        params=new_p,
-        batch_stats=new_s,
-        step=jnp.asarray(step, jnp.int32),
-        # The poly LR must continue from the restored step (both references
-        # key it on global_step); the fresh optax schedule would otherwise
-        # silently restart at base_lr while the logs print the decayed one.
-        opt_state=advance_schedule_count(state.opt_state, step),
-    )
-    if meta.get("best") is not None:
-        best = ckpt_lib.BestTracker.from_dict(meta["best"])
-    if is_primary:
-        print(
-            f"Loaded weights from '{cfg.checkpoint_path}' "
-            f"(global_step {step}; fresh optimizer moments)"
+    else:
+        # Reference TF prefix/dir or torch file — or a missing path, which
+        # load_any_checkpoint rejects loudly. One dispatch for all formats.
+        new_p, new_s, meta = ckpt_lib.load_any_checkpoint(
+            cfg.checkpoint_path,
+            state.params,
+            state.batch_stats,
+            cfg=cfg,
+            return_meta=True,
+        )
+        step = int(meta.get("global_step", 0))
+        state = state.replace(
+            params=new_p,
+            batch_stats=new_s,
+            step=jnp.asarray(step, jnp.int32),
+            # The poly LR must continue from the restored step (both
+            # references key it on global_step); the fresh optax schedule
+            # would otherwise silently restart at base_lr while the logs
+            # print the decayed one.
+            opt_state=advance_schedule_count(state.opt_state, step),
+        )
+        if meta.get("best") is not None:
+            best = ckpt_lib.BestTracker.from_dict(meta["best"])
+        if is_primary:
+            print(
+                f"Loaded weights from '{cfg.checkpoint_path}' "
+                f"(global_step {step}; fresh optimizer moments)"
+            )
+    if cfg.retrain:
+        # --retrain restarts from step zero (pytorch/bts_main.py:399-400).
+        # The LR schedule resets WITH the step: a restored/advanced
+        # schedule count would otherwise keep the applied LR at its decayed
+        # value (often end_lr) while the logged decay restarts at base_lr.
+        state = state.replace(
+            step=jnp.zeros((), jnp.int32),
+            opt_state=advance_schedule_count(state.opt_state, 0),
         )
     return state, best
 
@@ -238,7 +249,9 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> int:
             path = cfg.pretrained_model
             latest = convert_tf.tf_latest_checkpoint(path)
             tf_vars = convert_tf.load_tf_checkpoint(latest or path)
-            if convert_tf.is_full_tf_bts_checkpoint(latest or path):
+            # Same dispatch as is_full_tf_bts_checkpoint, but on the
+            # in-memory variable map — no second disk walk of the index.
+            if any("decoder/Conv/" in n for n in tf_vars):
                 # Full trained TF BTS model (encoder + decoder): strict
                 # conversion; cfg.resolved_flavor already built the model
                 # as flavor='tf' so the bias leaves exist.
@@ -287,10 +300,9 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> int:
     state = create_train_state(params, batch_stats, tx)
     best = ckpt_lib.BestTracker()
 
-    # Restore (pytorch/bts_main.py:376-397); --retrain resets step.
+    # Restore (pytorch/bts_main.py:376-397); --retrain resets step + LR
+    # schedule (both handled inside restore_training_start).
     state, best = restore_training_start(cfg, state, best, is_primary)
-    if cfg.retrain:
-        state = state.replace(step=jnp.zeros((), jnp.int32))
 
     # Commit the (possibly restored) state to the mesh before step 0 —
     # otherwise step 1 and step 2 see different avals and the train step

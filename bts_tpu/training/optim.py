@@ -112,11 +112,15 @@ def advance_schedule_count(opt_state, step: int):
     """
     import jax.numpy as jnp
 
-    c = jnp.asarray(step, jnp.int32)
-
     def walk(node):
         if isinstance(node, optax.ScaleByScheduleState):
-            return optax.ScaleByScheduleState(count=c)
+            # A FRESH array per state (as optax.init creates them): a
+            # single array object shared across the tree aliases the
+            # donated buffer in the jitted train step — the TPU runtime
+            # rejects the aliased donation at execution (INVALID_ARGUMENT).
+            return optax.ScaleByScheduleState(
+                count=jnp.asarray(step, jnp.int32)
+            )
         if isinstance(node, tuple) and hasattr(node, "_fields"):
             return type(node)(*(walk(x) for x in node))
         if isinstance(node, tuple):

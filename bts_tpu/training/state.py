@@ -58,8 +58,15 @@ def make_train_step(model, tx, cfg):
     mask_min = cfg.depth_mask_min
     variance_focus = cfg.variance_focus
     # bn_no_track_stats: run BN in inference mode during training
-    # (reference bn_init_as_tf, pytorch/bts.py:26-31).
-    bn_train = not cfg.bn_no_track_stats
+    # (reference bn_init_as_tf, pytorch/bts.py:26-31). The TF twin ALWAYS
+    # trains that way — every encoder BN is built is_training=False
+    # (tensorflow/bts.py:188-192) and the decoder gets bn_training=False
+    # (tensorflow/bts_main.py:167-168) — so flavor='tf' freezes BN stats
+    # unconditionally: fine-tuning a TF-zoo checkpoint must normalize by
+    # the checkpoint's moving stats, not clobber them with batch stats.
+    bn_train = not (
+        cfg.bn_no_track_stats or cfg.resolved_flavor == "tf"
+    )
     device_augment = cfg.device_augment
     if device_augment:
         from bts_tpu.data.device_augment import augment_batch

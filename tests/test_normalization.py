@@ -41,6 +41,21 @@ def test_caffe_scale_is_densenet_only():
         )
 
 
+def test_resolved_normalization_round_trips():
+    """Every resolved value must be a valid INPUT: snapshot_run pins the
+    resolved normalization into arguments.txt for replay (snapshot.py:39),
+    so a non-densenet caffe run's 'caffe_unscaled' must parse back instead
+    of raising on the first loader access of the replayed config."""
+    for cfg in (
+        Config(encoder="resnet50_bts", normalization="caffe"),
+        Config(normalization="caffe"),
+        Config(),
+    ):
+        resolved = cfg.resolved_normalization
+        replayed = Config(encoder=cfg.encoder, normalization=resolved)
+        assert replayed.resolved_normalization == resolved
+
+
 def test_normalization_auto_selects_caffe_for_tf_checkpoint(tmp_path):
     # A TF checkpoint is '<prefix>.index' + data files (convert_tf sniff).
     prefix = tmp_path / "model"

@@ -558,6 +558,28 @@ def test_train_resume_from_tf_checkpoint(tf_model_and_ckpt, tmp_path):
     ]
     assert sched and all(c == 777 for c in sched), sched
     assert adam and all(c == 0 for c in adam), adam
+    # --retrain restarts from step zero INCLUDING the LR schedule
+    # (pytorch/bts_main.py:399-400: decay restarts at base_lr).
+    state3, _ = restore_training_start(
+        cfg.replace(retrain=True),
+        create_train_state(
+            jax.tree_util.tree_map(jnp.array, params),
+            jax.tree_util.tree_map(jnp.array, stats),
+            tx,
+        ),
+        ckpt_lib.BestTracker(),
+        is_primary=True,
+    )
+    assert int(state3.step) == 0
+    sched3 = [
+        int(leaf.count)
+        for leaf in jax.tree_util.tree_leaves(
+            state3.opt_state,
+            is_leaf=lambda x: isinstance(x, optax.ScaleByScheduleState),
+        )
+        if isinstance(leaf, optax.ScaleByScheduleState)
+    ]
+    assert sched3 and all(c == 0 for c in sched3), sched3
     np.testing.assert_array_equal(
         np.asarray(state2.params["decoder"]["get_depth"]["conv"]["bias"]),
         truth[
@@ -650,8 +672,20 @@ def test_tf_flavor_fine_tune_step(tf_model_and_ckpt):
         mesh,
     )
     before = jax.tree_util.tree_map(np.asarray, params)
+    stats_before = jax.tree_util.tree_map(np.asarray, stats)
     state2, metrics = step_fn(state, batch)
     assert np.isfinite(float(metrics["loss"])) and float(metrics["loss"]) > 0
+
+    # TF-twin BN semantics: the TF reference trains with EVERY BN frozen
+    # (encoder is_training=False tensorflow/bts.py:188-192, decoder
+    # bn_training=False bts_main.py:167-168), so a fine-tune step must
+    # normalize by — and not touch — the checkpoint's moving stats.
+    for path, leaf in _flatten(
+        jax.tree_util.tree_map(np.asarray, state2.batch_stats)
+    ).items():
+        np.testing.assert_array_equal(
+            leaf, _flatten(stats_before)[path], err_msg="/".join(path)
+        )
 
     pred = frozen_predicate(cfg)
     flat_before = _flatten(before)

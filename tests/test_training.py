@@ -408,6 +408,53 @@ def test_restore_training_start_torch_file(tmp_path, tiny_model_state):
             True,
         )
 
+    # --retrain resets step AND the LR schedule (decay restarts at
+    # base_lr, pytorch/bts_main.py:399-400), and the resulting state must
+    # survive a real donated train step on a mesh (schedule counts must be
+    # distinct buffers — a shared array breaks donation on the TPU).
+    state3, _ = restore_training_start(
+        cfg.replace(checkpoint_path=str(path), retrain=True),
+        create_train_state(
+            jax.tree.map(jnp.array, params),
+            jax.tree.map(jnp.array, batch_stats),
+            tx,
+        ),
+        ckpt_lib.BestTracker(),
+        True,
+    )
+    assert int(state3.step) == 0
+    sched = [
+        int(leaf.count)
+        for leaf in jax.tree_util.tree_leaves(
+            state3.opt_state,
+            is_leaf=lambda x: isinstance(x, optax.ScaleByScheduleState),
+        )
+        if isinstance(leaf, optax.ScaleByScheduleState)
+    ]
+    assert sched and all(c == 0 for c in sched), sched
+    mesh = make_mesh(8)
+    from bts_tpu.parallel.mesh import replicate_tree
+
+    state3 = replicate_tree(state3, mesh)
+    step_fn = jit_train_step(make_train_step(model, tx, cfg), mesh)
+    rng2 = np.random.default_rng(12)
+    batch = shard_batch(
+        {
+            "image": rng2.normal(size=(8, H, W, 3)).astype(np.float32),
+            "depth": rng2.uniform(0.5, 9.5, size=(8, H, W, 1)).astype(
+                np.float32
+            ),
+            "focal": np.full((8,), 518.8579, np.float32),
+        },
+        mesh,
+    )
+    state4, metrics = step_fn(state3, batch)
+    # The σ=1 synthetic weights saturate the depth sigmoid, so the loss
+    # value itself may be non-finite (log 0 — fixture artifact); the point
+    # here is that the donated step EXECUTES and reads back.
+    float(metrics["loss"])
+    assert int(state4.step) == 1
+
 
 def test_train_loop_end_to_end(tmp_path):
     """Two steps of the full train() driver on a synthetic dataset."""
