@@ -218,6 +218,39 @@ class Config:
             return caffe
         return "imagenet"
 
+    def validate(self) -> "Config":
+        """Loudly reject typo'd enum flags at the CLI boundary.
+
+        Without this a mistyped --dataset silently trains/evals with the
+        OTHER dataset's semantics everywhere the code branches on
+        `dataset == "kitti"` (depth scaling /1000 vs /256, mask threshold
+        0.1 vs 1.0, focal scaling, crops) — the reference has the same
+        fall-through behavior; we make it an error instead.
+        """
+        if self.dataset not in ("nyu", "kitti"):
+            raise ValueError(
+                f"dataset must be 'nyu' or 'kitti' (got {self.dataset!r})"
+            )
+        if self.remat_policy not in ("conv", "full"):
+            raise ValueError(
+                f"remat_policy must be 'conv' or 'full' "
+                f"(got {self.remat_policy!r})"
+            )
+        if self.remat_scope not in ("encoder", "all"):
+            raise ValueError(
+                f"remat_scope must be 'encoder' or 'all' "
+                f"(got {self.remat_scope!r})"
+            )
+        if self.lpg_impl not in ("auto", "xla", "pallas", "ffi"):
+            raise ValueError(
+                f"lpg_impl must be one of auto/xla/pallas/ffi "
+                f"(got {self.lpg_impl!r})"
+            )
+        # These two raise on invalid values and cache their sniffs.
+        _ = self.resolved_normalization
+        _ = self.resolved_flavor
+        return self
+
     @property
     def resolved_flavor(self) -> str:
         """'pt' or 'tf'; 'auto' sniffs --checkpoint_path/--pretrained_model
@@ -308,7 +341,7 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> Config:
         argv = ["@" + argv[0]]
     parser = _build_parser()
     ns = parser.parse_args(argv)
-    return Config(**vars(ns))
+    return Config(**vars(ns)).validate()
 
 
 def config_to_argfile(cfg: Config) -> str:

@@ -84,3 +84,23 @@ def test_default_true_bool_can_be_disabled(tmp_path):
     assert cfg2 == cfg
     # Bare flag still sets True (reference store_true semantics).
     assert parse_args(["--fast_tail"]).fast_tail
+
+
+def test_validate_rejects_typod_enums():
+    """A mistyped --dataset must fail at the CLI boundary instead of
+    silently running with the other dataset's depth scaling/masking
+    (config.Config.validate; parse_args calls it)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="dataset"):
+        parse_args(["--dataset", "kittti"])
+    with pytest.raises(ValueError, match="remat_policy"):
+        parse_args(["--remat_policy", "all"])
+    with pytest.raises(ValueError, match="remat_scope"):
+        parse_args(["--remat_scope", "decoder"])
+    with pytest.raises(ValueError, match="lpg_impl"):
+        parse_args(["--lpg_impl", "cuda"])
+    with pytest.raises(ValueError, match="model_flavor"):
+        parse_args(["--model_flavor", "torch"])
+    # Valid combinations pass through.
+    assert parse_args(["--dataset", "kitti", "--lpg_impl", "pallas"]).dataset == "kitti"
